@@ -1,0 +1,190 @@
+"""Typed configuration system with named presets.
+
+Replaces the reference's single argparse blob (/root/reference/config.py:6-85),
+whose ~10 dead flags (SURVEY.md C22) we either wire for real (``ray_shape``)
+or drop. Presets cover BASELINE.json's five benchmark configs; every field can
+be overridden from the CLI (see apps/) and the resolved config is serialized
+into the checkpoint directory.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    num_samples: int = 64            # reference config.py:20 default
+    hidden_proposal: int = 256
+    proposal_depth: int = 4          # hidden layers in the proposal tower
+    hidden_nerf: int = 1024
+    nerf_depth: int = 8              # hidden layers in the NeRF tower
+    density_bias: float = -1.0
+    rgb_padding: float = 0.001
+    resample_padding: float = 0.01
+    white_bkgd: bool = False
+    viewdir_min_deg: int = 0
+    viewdir_max_deg: int = 4
+    ray_shape: str = "cone"          # "cone" | "cylinder"
+    # Reference quirks, reproduced by default for parity (model.py:51,147,150-158):
+    # a Sigmoid on the last trunk layer and on the raw-density head.
+    trunk_final_sigmoid: bool = True
+    density_head_sigmoid: bool = True
+    compute_dtype: str = "bfloat16"  # matmul dtype; params/accumulation stay f32
+
+    @property
+    def input_dim(self) -> int:
+        # 21*2 IPE features + 4 scales * 2 angles * 2 (sin,cos); reference
+        # hardcodes 58 at model.py:39,127.
+        return 42 + 4 * (self.viewdir_max_deg - self.viewdir_min_deg)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    max_steps: int = 200_000
+    batch_size: int = 64             # rays per step (reference config.py:41)
+    lr_init: float = 2e-3
+    lr_final: float = 2e-5
+    lr_delay_steps: int = 2500
+    lr_delay_mult: float = 0.1
+    weight_decay: float = 1e-5
+    dist_loss_weight: float = 0.01   # config.py:32 ``dist_weight_decay``
+    # Training cadence. "reference": 2 inner proposal updates + 1 nerf update
+    # per global step, scheduler stepped 3x (train.py:51-82). "joint": one
+    # fused update of all losses per step (the paper's cadence; ~3x faster).
+    cadence: str = "joint"
+    prop_inner_steps: int = 2
+    randomized: bool = True
+    seed: int = 0
+    save_every: int = 1000
+    eval_every: int = 100
+    log_every: int = 20
+    checkpoint_dir: str = "ckpt"
+    keep_checkpoints: int = 3
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"       # blender | llff | nerf_360 | synthetic
+    base_dir: str = ""
+    scene: str = "lego"
+    factor: int = 2
+    near: float = 2.0
+    far: float = 6.0
+    # synthetic (procedural) scene controls — used when no data is on disk
+    synthetic_resolution: int = 64
+    synthetic_views: int = 16
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. data*model must divide the device count at runtime."""
+    data: int = -1                   # -1: all devices on the data axis
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    preset: str = ""
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        return Config(
+            model=ModelConfig(**d["model"]),
+            train=TrainConfig(**d["train"]),
+            data=DataConfig(**d["data"]),
+            mesh=MeshConfig(**d.get("mesh", {})),
+            preset=d.get("preset", ""),
+        )
+
+
+def _replace(cfg: Config, **groups) -> Config:
+    out = cfg
+    for name, overrides in groups.items():
+        group = dataclasses.replace(getattr(out, name), **overrides)
+        out = dataclasses.replace(out, **{name: group})
+    return out
+
+
+# --- Named presets (BASELINE.json "configs") ------------------------------
+
+def tiny_lego() -> Config:
+    """blender/lego single-scale, tiny MLP, 64 samples/ray, low-res, CPU-runnable."""
+    cfg = Config(preset="tiny_lego")
+    cfg = _replace(
+        cfg,
+        model=dict(hidden_proposal=64, hidden_nerf=128, nerf_depth=4,
+                   white_bkgd=True, compute_dtype="float32"),
+        train=dict(max_steps=200, batch_size=256, lr_delay_steps=20),
+        data=dict(dataset="blender", scene="lego", factor=8),
+    )
+    return cfg
+
+
+def blender_lego() -> Config:
+    """blender/lego full Mip-NeRF IPE with hierarchical coarse/fine sampling."""
+    cfg = Config(preset="blender_lego")
+    return _replace(
+        cfg,
+        model=dict(white_bkgd=True),
+        data=dict(dataset="blender", scene="lego", factor=2, near=2.0, far=6.0),
+    )
+
+
+def llff_fern() -> Config:
+    """LLFF forward-facing fern with contract() parameterization."""
+    cfg = Config(preset="llff_fern")
+    return _replace(
+        cfg,
+        model=dict(white_bkgd=False, ray_shape="cylinder"),
+        data=dict(dataset="llff", scene="fern", factor=8, near=0.0, far=1.0),
+    )
+
+
+def garden() -> Config:
+    """nerf_360 garden: proposal distillation + distortion regularization."""
+    cfg = Config(preset="garden")
+    return _replace(
+        cfg,
+        model=dict(white_bkgd=False, ray_shape="cylinder"),
+        train=dict(max_steps=10_000),
+        data=dict(dataset="nerf_360", scene="garden", factor=8, near=0.0, far=1.0),
+    )
+
+
+def bicycle_multihost() -> Config:
+    """nerf_360 bicycle full-res multi-host: sharded ray batches, video render."""
+    cfg = Config(preset="bicycle_multihost")
+    return _replace(
+        cfg,
+        model=dict(white_bkgd=False, ray_shape="cylinder"),
+        train=dict(max_steps=10_000, batch_size=4096),
+        data=dict(dataset="nerf_360", scene="bicycle", factor=4, near=0.0, far=1.0),
+        mesh=dict(data=-1, model=1),
+    )
+
+
+PRESETS = {
+    "tiny_lego": tiny_lego,
+    "blender_lego": blender_lego,
+    "llff_fern": llff_fern,
+    "garden": garden,
+    "bicycle_multihost": bicycle_multihost,
+}
+
+
+def get_config(preset: str = "", **overrides) -> Config:
+    cfg = PRESETS[preset]() if preset else Config()
+    if overrides:
+        cfg = _replace(cfg, **overrides)
+    return cfg

@@ -1,0 +1,62 @@
+"""Hand-rolled MLP stacks as plain pytrees.
+
+Counterpart of the reference's ``nn.Sequential`` towers (model.py:43-53 for the
+proposal net, model.py:131-158 for the NeRF net). Params are nested dicts of
+jnp arrays — transparent to ``jit``/``grad``/``pjit`` sharding with no
+framework dependency.
+
+Init mirrors the reference's Kaiming-uniform weight init (model.py:8-12,
+``nn.init.kaiming_uniform_`` with default fan_in/leaky_relu gain sqrt(2), i.e.
+bound = sqrt(6/fan_in)); biases use torch Linear's default U(±1/sqrt(fan_in)).
+
+Matmuls run in a configurable compute dtype (bfloat16 by default) with float32
+accumulation (``preferred_element_type``) so they tile onto the MXU; params
+stay float32.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Activations are referenced by name so configs stay serializable.
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "softplus": jax.nn.softplus,
+    "none": lambda x: x,
+}
+
+
+def init_linear(key, fan_in: int, fan_out: int):
+    wkey, bkey = jax.random.split(key)
+    w_bound = float(np.sqrt(6.0 / fan_in))
+    b_bound = float(1.0 / np.sqrt(fan_in))
+    return {
+        "w": jax.random.uniform(wkey, (fan_in, fan_out), jnp.float32, -w_bound, w_bound),
+        "b": jax.random.uniform(bkey, (fan_out,), jnp.float32, -b_bound, b_bound),
+    }
+
+
+def init_mlp(key, sizes: Sequence[int]):
+    """sizes = [in, h1, ..., out]; returns {"layers": [linear, ...]}."""
+    keys = jax.random.split(key, len(sizes) - 1)
+    return {"layers": [init_linear(k, sizes[i], sizes[i + 1])
+                       for i, k in enumerate(keys)]}
+
+
+def apply_linear(layer, x, compute_dtype=jnp.bfloat16):
+    w = layer["w"].astype(compute_dtype)
+    y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)
+    return y + layer["b"]
+
+
+def apply_mlp(params, x, activations: Sequence[str], compute_dtype=jnp.bfloat16):
+    """Apply the stack; ``activations[i]`` follows layer i ("none" for linear out)."""
+    layers = params["layers"]
+    assert len(layers) == len(activations), (len(layers), len(activations))
+    for layer, act in zip(layers, activations):
+        x = ACTIVATIONS[act](apply_linear(layer, x, compute_dtype))
+    return x

@@ -1,0 +1,89 @@
+"""Device mesh construction and sharding rules.
+
+The reference has zero parallelism (SURVEY.md §2.2); this module is the
+framework's scaling layer. Strategy (scaling-book recipe): pick a mesh,
+annotate shardings, let XLA insert collectives over ICI/DCN.
+
+Axes:
+- "data": ray-batch data parallelism — the primary axis. Batches are sharded
+  on their leading dim; params replicated; XLA emits the gradient psum.
+- "model": optional tensor parallelism of the 1024-wide NeRF trunk — hidden
+  dims sharded Megatron-style (even layers split columns, odd layers split
+  rows) so activations alternate sharded/partial and XLA places the matching
+  all-reduces on ICI.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.rays import Rays, rays_map
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    return jax.make_mesh((data, model), ("data", "model"), devices=devices)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (ray-batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, rays: Rays, pixels=None):
+    """Place a host batch onto the mesh, ray axis split over "data"."""
+    sh = batch_sharding(mesh)
+    rays = rays_map(lambda x: jax.device_put(np.asarray(x), sh), rays)
+    if pixels is None:
+        return rays
+    return rays, jax.device_put(np.asarray(pixels), sh)
+
+
+def param_shardings(mesh: Mesh, params) -> Any:
+    """Sharding tree for params: replicated by default; NeRF trunk hidden dims
+    sharded over "model" when that axis is >1 (Megatron alternation)."""
+    if mesh.shape["model"] == 1:
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
+
+    def shard_tree(tree):
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), tree)
+
+    out = {
+        "prop": shard_tree(params["prop"]),
+        "nerf": {
+            "trunk": {"layers": []},
+            "density": shard_tree(params["nerf"]["density"]),
+            "rgb": shard_tree(params["nerf"]["rgb"]),
+        },
+    }
+    layers = params["nerf"]["trunk"]["layers"]
+    for i in range(len(layers)):
+        if i % 2 == 0:  # split output features (columns)
+            w_spec, b_spec = P(None, "model"), P("model")
+        else:           # split input features (rows)
+            w_spec, b_spec = P("model", None), P()
+        out["nerf"]["trunk"]["layers"].append({
+            "w": NamedSharding(mesh, w_spec),
+            "b": NamedSharding(mesh, b_spec),
+        })
+    return out
+
+
+def shard_params(mesh: Mesh, params):
+    shardings = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings)
