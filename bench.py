@@ -1,0 +1,88 @@
+"""Benchmark harness: training-step rays/sec/chip on the flagship config.
+
+Prints ONE JSON line:
+    {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+     "vs_baseline": R}
+
+``vs_baseline`` compares against the PyTorch reference's measured training
+throughput (BASELINE_MEASURED.json — the reference publishes no numbers, so we
+measured its rays/s ourselves; see that file for methodology). Values > 1.0
+mean faster than the reference.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    from mipnerf360_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+    from mipnerf360_tpu.core.rays import dummy_rays
+    from mipnerf360_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from mipnerf360_tpu.train.state import init_train_state
+    from mipnerf360_tpu.train.step import make_train_step
+
+    n_dev = len(jax.devices())
+    cfg = Config(
+        model=ModelConfig(),  # flagship: 64 samples, 256-wide prop, 1024-wide nerf
+        train=TrainConfig(batch_size=args.batch, cadence="joint"),
+        data=DataConfig(),
+        mesh=MeshConfig(data=n_dev, model=1),
+    )
+
+    mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+    state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+    state = state._replace(params=shard_params(mesh, state.params))
+
+    rays_np = dummy_rays(args.batch)
+    pixels_np = np.random.default_rng(0).uniform(
+        0, 1, (args.batch, 3)).astype(np.float32)
+    rays, pixels = shard_batch(mesh, rays_np, pixels_np)
+
+    step_fn = make_train_step(cfg, mesh, donate=True)
+
+    for _ in range(args.warmup):
+        state, aux = step_fn(state, rays, pixels)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, aux = step_fn(state, rays, pixels)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = args.steps * args.batch / dt
+    rays_per_sec_per_chip = rays_per_sec / n_dev
+
+    baseline_path = os.path.join(os.path.dirname(__file__) or ".",
+                                 "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        ref_rays = ref.get("reference_train_rays_per_sec")
+        if ref_rays:
+            vs_baseline = rays_per_sec_per_chip / ref_rays
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec_per_chip, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Holdout-view evaluation CLI — counterpart of /root/reference/test.py.
+
+Renders every held-out view, writes rgb (+ optional depth/normal) PNGs, and
+reports per-image and mean PSNR. Unlike the reference (test.py:48-49, which
+uses np.sum of squared error), PSNR here uses the standard per-pixel mean.
+
+    python -m mipnerf360_tpu.apps.eval --preset garden --ckpt ckpt/
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..data import get_dataset
+from ..data.viz import to8b, visualize_depth, visualize_normals
+from ..models.mipnerf360 import render_image
+from ..train.checkpoint import restore_checkpoint
+from ..train.state import abstract_train_state
+from ..core.rays import rays_to_device
+from .common import add_config_args, config_from_args
+
+
+def _save_png(path: str, img_u8: np.ndarray):
+    from PIL import Image
+
+    Image.fromarray(img_u8).save(path)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_config_args(ap)
+    ap.add_argument("--ckpt", default="", help="checkpoint dir (default: cfg)")
+    ap.add_argument("--out", default="", help="output dir (default: ckpt/test)")
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--depth", action="store_true", help="write depth viz")
+    ap.add_argument("--normals", action="store_true", help="write normal viz")
+    args = ap.parse_args()
+
+    cfg = config_from_args(args)
+    ckpt_dir = args.ckpt or cfg.train.checkpoint_dir
+    out_dir = args.out or os.path.join(ckpt_dir, "test")
+    os.makedirs(out_dir, exist_ok=True)
+
+    template = abstract_train_state(
+        jax.random.PRNGKey(cfg.train.seed), cfg.model, cfg.train)
+    state = restore_checkpoint(ckpt_dir, template)
+    print(f"restored step={int(state.step)} from {ckpt_dir}")
+
+    ds = get_dataset(cfg.data, "test")
+    psnrs = []
+    for i in range(ds.n_images):
+        rays_np, pix = ds.image(i)
+        rays = rays_to_device(rays_np)
+        rgb, dist, acc = render_image(state.params, cfg.model, rays,
+                                      chunk=args.chunk)
+        rgb = np.asarray(jax.device_get(rgb)).reshape(ds.h, ds.w, 3)
+        dist = np.asarray(jax.device_get(dist)).reshape(ds.h, ds.w)
+        acc = np.asarray(jax.device_get(acc)).reshape(ds.h, ds.w)
+
+        _save_png(os.path.join(out_dir, f"rgb_{i:04d}.png"), to8b(rgb))
+        if args.depth:
+            _save_png(os.path.join(out_dir, f"dist_{i:04d}.png"),
+                      to8b(visualize_depth(dist, acc, ds.near, ds.far)))
+        if args.normals:
+            _save_png(os.path.join(out_dir, f"norm_{i:04d}.png"),
+                      to8b(visualize_normals(dist, acc)))
+
+        if pix is not None:
+            target = pix.reshape(ds.h, ds.w, 3)
+            mse = float(np.mean((rgb - target) ** 2))
+            psnr = -10.0 * np.log10(mse)
+            psnrs.append(psnr)
+            print(f"[{i + 1}/{ds.n_images}] PSNR={psnr:.2f}")
+
+    if psnrs:
+        print(f"mean PSNR over {len(psnrs)} views: {np.mean(psnrs):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Path-render video CLI — counterpart of /root/reference/video.py.
+
+Renders a synthetic spiral (forward-facing) or spherical (360) camera path
+and writes video.mp4 (30 fps) plus optional depth/normal videos; falls back
+to PNG frames if imageio/ffmpeg is unavailable.
+
+    python -m mipnerf360_tpu.apps.video --preset garden --ckpt ckpt/
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..data import get_dataset
+from ..data.viz import to8b, visualize_depth, visualize_normals
+from ..models.mipnerf360 import render_image
+from ..train.checkpoint import restore_checkpoint
+from ..train.state import abstract_train_state
+from ..core.rays import rays_to_device
+from .common import add_config_args, config_from_args
+
+
+def _write_video(path: str, frames, fps: int = 30):
+    try:
+        import imageio
+
+        imageio.mimwrite(path, frames, fps=fps, quality=10)
+        print(f"wrote {path}")
+    except Exception as e:  # no ffmpeg in this image -> dump frames
+        frame_dir = path + ".frames"
+        os.makedirs(frame_dir, exist_ok=True)
+        from PIL import Image
+
+        for i, f in enumerate(frames):
+            Image.fromarray(f).save(os.path.join(frame_dir, f"{i:04d}.png"))
+        print(f"imageio unavailable ({e}); wrote frames to {frame_dir}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_config_args(ap)
+    ap.add_argument("--ckpt", default="")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--depth", action="store_true")
+    ap.add_argument("--normals", action="store_true")
+    args = ap.parse_args()
+
+    cfg = config_from_args(args)
+    ckpt_dir = args.ckpt or cfg.train.checkpoint_dir
+    out_dir = args.out or ckpt_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    template = abstract_train_state(
+        jax.random.PRNGKey(cfg.train.seed), cfg.model, cfg.train)
+    state = restore_checkpoint(ckpt_dir, template)
+    print(f"restored step={int(state.step)} from {ckpt_dir}")
+
+    ds = get_dataset(cfg.data, "render")
+    rgb_frames, depth_frames, normal_frames = [], [], []
+    for i in range(ds.n_images):
+        rays_np, _ = ds.image(i)
+        rays = rays_to_device(rays_np)
+        rgb, dist, acc = render_image(state.params, cfg.model, rays,
+                                      chunk=args.chunk)
+        rgb = np.asarray(jax.device_get(rgb)).reshape(ds.h, ds.w, 3)
+        dist = np.asarray(jax.device_get(dist)).reshape(ds.h, ds.w)
+        acc = np.asarray(jax.device_get(acc)).reshape(ds.h, ds.w)
+        rgb_frames.append(to8b(rgb))
+        if args.depth:
+            depth_frames.append(to8b(visualize_depth(dist, acc, ds.near, ds.far)))
+        if args.normals:
+            normal_frames.append(to8b(visualize_normals(dist, acc)))
+        print(f"rendered pose {i + 1}/{ds.n_images}")
+
+    _write_video(os.path.join(out_dir, "video.mp4"), rgb_frames)
+    if args.depth:
+        _write_video(os.path.join(out_dir, "depth.mp4"), depth_frames)
+    if args.normals:
+        _write_video(os.path.join(out_dir, "normals.mp4"), normal_frames)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Dataset container + batch iteration (host-side NumPy).
+
+Counterpart of /root/reference/dataset.py:37-171 (``NeRFDataset``) without the
+torch ``DataLoader`` machinery: rays for all images are generated once and
+flattened to [N, c] arrays (same strategy as dataset.py:147-152); training
+batches are random gathers, eval iterates whole images. Device placement and
+sharding happen at the mesh layer, not here.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..core.rays import Rays, rays_map
+
+
+@dataclass
+class RayDataset:
+    rays: Rays                    # flattened [N, c] float32 arrays
+    pixels: Optional[np.ndarray]  # [N, 3] or None (render split)
+    h: int
+    w: int
+    near: float
+    far: float
+    n_images: int
+
+    @property
+    def n_rays(self) -> int:
+        return self.rays.origins.shape[0]
+
+    def batches(self, batch_size: int, seed: int = 0
+                ) -> Iterator[Tuple[Rays, np.ndarray]]:
+        """Infinite stream of uniformly sampled ray batches (the reference's
+        shuffling DataLoader + cycle(), dataset.py:18-35)."""
+        rng = np.random.default_rng(seed)
+        n = self.n_rays
+        while True:
+            idx = rng.integers(0, n, size=(batch_size,))
+            yield rays_map(lambda x: x[idx], self.rays), self.pixels[idx]
+
+    def image(self, i: int) -> Tuple[Rays, Optional[np.ndarray]]:
+        """All rays (and pixels) of image ``i``, flattened [H*W, c]."""
+        per = self.h * self.w
+        sl = slice(i * per, (i + 1) * per)
+        rays = rays_map(lambda x: x[sl], self.rays)
+        pix = self.pixels[sl] if self.pixels is not None else None
+        return rays, pix
+
+    def images(self):
+        for i in range(self.n_images):
+            yield self.image(i)
+
+
+def flatten_images(rays: Rays, images: Optional[np.ndarray]) -> Tuple[Rays, Optional[np.ndarray]]:
+    """[P, H, W, c] -> [P*H*W, c] (dataset.py:147-152)."""
+    flat_rays = rays_map(lambda x: np.ascontiguousarray(
+        x.reshape(-1, x.shape[-1]), dtype=np.float32), rays)
+    flat_pix = None
+    if images is not None:
+        flat_pix = np.ascontiguousarray(
+            images.reshape(-1, images.shape[-1])[:, :3], dtype=np.float32)
+    return flat_rays, flat_pix

@@ -1,0 +1,73 @@
+"""Procedural multi-view scene for dataset-free tests and benches.
+
+No counterpart in the reference (it requires on-disk datasets). A shaded
+sphere at the origin is rendered analytically from cameras on a circle, giving
+a geometrically consistent scene a NeRF can actually learn — used by the
+integration tests (SURVEY.md §4 "tiny config, CPU-runnable") and by bench.py
+when no real dataset is mounted.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DataConfig
+from ..core.rays import Rays
+from .base import RayDataset, flatten_images
+from .pose import look_at, normalize
+from .rays_gen import pinhole_rays
+
+
+def _orbit_poses(n_poses: int, radius: float = 4.0, elevation: float = 0.5):
+    """Cameras on a tilted circle, all looking at the origin."""
+    poses = []
+    for th in np.linspace(0, 2 * np.pi, n_poses + 1)[:-1]:
+        pos = np.array([
+            radius * np.cos(th),
+            radius * np.sin(th),
+            radius * elevation * np.sin(th * 2 + 1.0),
+        ])
+        z = normalize(pos)  # camera looks along -z toward origin
+        up = np.array([0.0, 0.0, 1.0])
+        poses.append(look_at(z, up, pos))
+    return np.stack(poses, 0).astype(np.float32)
+
+
+def _shade_sphere(origins, viewdirs, sphere_radius: float = 1.0):
+    """Analytic render: lambertian sphere at origin, white background.
+
+    origins/viewdirs: [..., 3] -> rgb [..., 3] float32 in [0, 1].
+    """
+    o = origins
+    d = viewdirs
+    b = np.sum(o * d, axis=-1)
+    c = np.sum(o * o, axis=-1) - sphere_radius**2
+    disc = b * b - c
+    hit = disc > 0
+    sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
+    t_hit = -b - sqrt_disc
+    hit = hit & (t_hit > 0)
+    p = o + t_hit[..., None] * d
+    n = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+    light = normalize(np.array([0.5, 0.5, 0.8]))
+    lambert = np.clip(np.sum(n * light, axis=-1), 0.0, 1.0)
+    base = 0.5 * (n + 1.0)  # normal-coded albedo: view-consistent color
+    rgb = base * (0.25 + 0.75 * lambert[..., None])
+    white = np.ones_like(rgb)
+    return np.where(hit[..., None], rgb, white).astype(np.float32)
+
+
+def synthetic_dataset(cfg: DataConfig, split: str = "train") -> RayDataset:
+    res = cfg.synthetic_resolution
+    n_views = cfg.synthetic_views
+    # train/test use different orbit phases so test views are held out
+    n = n_views if split == "train" else max(2, n_views // 4)
+    poses = _orbit_poses(n + (0 if split == "train" else 1))[
+        (0 if split == "train" else 1):]
+    poses = poses[:n]
+    focal = 0.9 * res
+    rays = pinhole_rays(poses, res, res, focal, cfg.near, cfg.far)
+    images = None if split == "render" else _shade_sphere(rays.origins, rays.viewdirs)
+    flat_rays, flat_pix = flatten_images(rays, images)
+    return RayDataset(
+        rays=flat_rays, pixels=flat_pix, h=res, w=res,
+        near=cfg.near, far=cfg.far, n_images=n)

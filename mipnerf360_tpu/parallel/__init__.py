@@ -1,0 +1,9 @@
+"""Parallelism layer: mesh construction, shardings, multi-host init."""
+from .mesh import (
+    make_mesh,
+    replicated,
+    batch_sharding,
+    shard_batch,
+    param_shardings,
+    shard_params,
+)

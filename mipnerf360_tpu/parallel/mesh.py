@@ -26,13 +26,19 @@ from ..core.rays import Rays, rays_map
 def make_mesh(data: int = -1, model: int = 1,
               devices=None) -> Mesh:
     """Build a ("data", "model") mesh over the available devices."""
-    devices = devices if devices is not None else jax.devices()
+    devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
         assert n % model == 0, (n, model)
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    return jax.make_mesh((data, model), ("data", "model"), devices=devices)
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    # Auto axes: GSPMD propagates shardings and inserts collectives (psum /
+    # all-gather) — JAX 0.9 defaults to Explicit, which would require
+    # out_sharding annotations on every sharded-contraction matmul.
+    return jax.make_mesh(
+        (data, model), ("data", "model"),
+        axis_types=(jax.sharding.AxisType.Auto,) * 2,
+        devices=devices[: data * model])
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

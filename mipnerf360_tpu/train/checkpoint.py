@@ -1,0 +1,83 @@
+"""Checkpoint save/restore with exact resume.
+
+The reference saves raw ``state_dict`` pairs every 100 steps and its
+``--continue_training`` reloads only the final pair, restarting the step
+counter and scheduler at 0 (train.py:39-43,98-103; SURVEY.md §5). Here a
+checkpoint is ONE tree — {step, sched_count, params, opt_state, key} — so
+resume is bit-exact including schedule position and PRNG stream.
+
+Format: flax msgpack bytes + a JSON manifest; multi-host safe (process 0
+writes, all processes read). Atomic via tmpfile rename.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from .state import TrainState
+
+_CKPT_RE = re.compile(r"^ckpt_(\d+)\.msgpack$")
+
+
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 3) -> str:
+    """Write the state tree; prune to the newest ``keep`` checkpoints."""
+    step = int(jax.device_get(state.step))
+    path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
+    if _is_primary():
+        os.makedirs(ckpt_dir, exist_ok=True)
+        host_state = jax.device_get(state)
+        data = serialization.to_bytes(host_state)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        with open(os.path.join(ckpt_dir, "manifest.json"), "w") as f:
+            json.dump({"latest_step": step}, f)
+        _prune(ckpt_dir, keep)
+    return path
+
+
+def _prune(ckpt_dir: str, keep: int):
+    steps = sorted(
+        int(m.group(1)) for m in map(_CKPT_RE.match, os.listdir(ckpt_dir)) if m)
+    for s in steps[:-keep] if keep > 0 else []:
+        try:
+            os.remove(os.path.join(ckpt_dir, f"ckpt_{s}.msgpack"))
+        except OSError:
+            pass
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(m.group(1))
+             for m in map(_CKPT_RE.match, os.listdir(ckpt_dir)) if m]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, template: TrainState,
+                       step: Optional[int] = None) -> TrainState:
+    """Restore into the structure of ``template`` (from init_train_state)."""
+    if step is None:
+        step = latest_checkpoint_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
+    with open(path, "rb") as f:
+        data = f.read()
+    # Only the tree structure + shapes/dtypes matter — never pull template
+    # values off-device (a leaf-by-leaf device_get over a remote TPU tunnel
+    # costs minutes for a large model).
+    host_template = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype), template)
+    return serialization.from_bytes(host_template, data)

@@ -59,6 +59,17 @@ def init_train_state(key, model_cfg: ModelConfig, train_cfg: TrainConfig) -> Tra
     )
 
 
+def abstract_train_state(key, model_cfg: ModelConfig,
+                         train_cfg: TrainConfig) -> TrainState:
+    """Shape/dtype-only TrainState (no device computation) — the restore
+    template for checkpoints. Cheap even over a remote-TPU tunnel."""
+    shapes = jax.eval_shape(
+        lambda k: init_train_state(k, model_cfg, train_cfg), key)
+    import numpy as np
+
+    return jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+
 def apply_updates_subtree(opt: optax.GradientTransformation, params, grads,
                           opt_state, lr):
     """One AdamW step on a params subtree with a traced learning rate."""

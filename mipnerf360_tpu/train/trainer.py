@@ -1,0 +1,105 @@
+"""Training driver: data -> mesh -> jitted step -> metrics/checkpoints.
+
+Counterpart of /root/reference/train.py:15-121 (``train_model``/``eval_model``)
+rebuilt TPU-first: one jitted step (whatever the cadence), sharded batches over
+the "data" mesh axis, host-0 logging, single-tree checkpoints with exact
+resume, rays/s + steps/s counters (the BASELINE.json metric).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..core.rays import Rays
+from ..data import get_dataset
+from ..losses.photometric import photometric_loss
+from ..models.mipnerf360 import render_rays
+from ..parallel.mesh import batch_sharding, make_mesh, shard_batch, shard_params
+from ..utils.logging import MetricsLogger, Timer
+from .checkpoint import latest_checkpoint_step, restore_checkpoint, save_checkpoint
+from .state import TrainState, init_train_state
+from .step import make_train_step
+
+
+def evaluate_batch(cfg: Config, params, rays: Rays, pixels) -> float:
+    """PSNR on one batch, deterministic sampling (reference eval_model,
+    train.py:106-116 — which also evaluates a single batch)."""
+    out = render_rays(params, cfg.model, rays, jax.random.PRNGKey(0),
+                      randomized=False)
+    _, psnr = photometric_loss(out["rgb"], pixels)
+    return float(jax.device_get(psnr))
+
+
+def train(cfg: Config, *, max_steps: Optional[int] = None,
+          resume: bool = False,
+          on_step: Optional[Callable[[int, dict], None]] = None) -> TrainState:
+    """Run training; returns the final TrainState."""
+    max_steps = max_steps if max_steps is not None else cfg.train.max_steps
+
+    mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+    dataset = get_dataset(cfg.data, "train")
+    try:
+        eval_dataset = get_dataset(cfg.data, "test")
+    except Exception:
+        eval_dataset = dataset
+
+    state = init_train_state(
+        jax.random.PRNGKey(cfg.train.seed), cfg.model, cfg.train)
+    start_step = 0
+    if resume and latest_checkpoint_step(cfg.train.checkpoint_dir) is not None:
+        state = restore_checkpoint(cfg.train.checkpoint_dir, state)
+        start_step = int(state.step)
+    state = state._replace(params=shard_params(mesh, state.params))
+
+    step_fn = make_train_step(cfg, mesh)
+    logger = MetricsLogger(cfg.train.checkpoint_dir)
+    if jax.process_index() == 0:
+        import os
+        os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+        with open(f"{cfg.train.checkpoint_dir}/config.json", "w") as f:
+            f.write(cfg.to_json())
+
+    batches = dataset.batches(cfg.train.batch_size, seed=cfg.train.seed)
+    eval_batches = eval_dataset.batches(cfg.train.batch_size,
+                                        seed=cfg.train.seed + 1)
+    timer = Timer()
+    aux = {}
+    for step in range(start_step, max_steps):
+        rays_np, pix_np = next(batches)
+        rays, pixels = shard_batch(mesh, rays_np, pix_np)
+        state, aux = step_fn(state, rays, pixels)
+
+        if (step + 1) % cfg.train.log_every == 0 or step == start_step:
+            aux_host = {k: float(jax.device_get(v)) for k, v in aux.items()}
+            dt = timer.lap()
+            steps_done = cfg.train.log_every if step != start_step else 1
+            scalars = {
+                "train/loss": aux_host.get("loss", 0.0),
+                "train/avg_psnr": aux_host.get("psnr", 0.0),
+                "train/lr": aux_host.get("lr", 0.0),
+                "train/loss_nerf": aux_host.get("loss_nerf", 0.0),
+                "train/loss_dist": aux_host.get("loss_dist", 0.0),
+                "train/loss_prop": aux_host.get("loss_prop", 0.0),
+                "perf/steps_per_sec": steps_done / dt,
+                "perf/rays_per_sec": steps_done * cfg.train.batch_size / dt,
+            }
+            logger.log(step + 1, scalars)
+            if on_step is not None:
+                on_step(step + 1, scalars)
+
+        if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
+            er, ep = next(eval_batches)
+            er, ep = shard_batch(mesh, er, ep)
+            psnr = evaluate_batch(cfg, state.params, er, ep)
+            logger.log(step + 1, {"eval/psnr": psnr})
+
+        if cfg.train.save_every and (step + 1) % cfg.train.save_every == 0:
+            save_checkpoint(cfg.train.checkpoint_dir, state,
+                            cfg.train.keep_checkpoints)
+
+    save_checkpoint(cfg.train.checkpoint_dir, state, cfg.train.keep_checkpoints)
+    logger.close()
+    return state

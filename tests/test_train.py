@@ -1,0 +1,149 @@
+"""Training integration tests: loss decreases, cadences, resume, schedule."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mipnerf360_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+from mipnerf360_tpu.core.rays import rays_map, rays_to_device
+from mipnerf360_tpu.data import get_dataset
+from mipnerf360_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from mipnerf360_tpu.train import (
+    init_train_state,
+    log_lerp_lr,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def tiny_config(cadence="joint", **train_overrides) -> Config:
+    return Config(
+        model=ModelConfig(num_samples=8, hidden_proposal=16, hidden_nerf=32,
+                          nerf_depth=2, compute_dtype="float32",
+                          white_bkgd=True),
+        train=TrainConfig(max_steps=100, batch_size=64, lr_init=2e-3,
+                          lr_final=2e-4, lr_delay_steps=5, cadence=cadence,
+                          **train_overrides),
+        data=DataConfig(dataset="synthetic", synthetic_resolution=16,
+                        synthetic_views=4),
+        mesh=MeshConfig(data=1, model=1),
+    )
+
+
+class TestSchedule:
+    def test_endpoints(self):
+        lr0 = float(log_lerp_lr(0, 2e-3, 2e-5, 1000, 0, 1.0))
+        lr_end = float(log_lerp_lr(1000, 2e-3, 2e-5, 1000, 0, 1.0))
+        assert lr0 == pytest.approx(2e-3, rel=1e-5)
+        assert lr_end == pytest.approx(2e-5, rel=1e-5)
+
+    def test_warmup_delay(self):
+        # at step 0 with delay, lr is scaled by lr_delay_mult
+        lr0 = float(log_lerp_lr(0, 2e-3, 2e-5, 1000, 100, 0.1))
+        assert lr0 == pytest.approx(2e-4, rel=1e-4)
+        # past the delay window, no scaling
+        lr_mid = float(log_lerp_lr(100, 2e-3, 2e-5, 1000, 100, 0.1))
+        assert lr_mid == pytest.approx(float(log_lerp_lr(100, 2e-3, 2e-5, 1000, 0, 1.0)), rel=1e-5)
+
+    def test_geometric_interpolation(self):
+        lr_mid = float(log_lerp_lr(500, 1e-2, 1e-4, 1000, 0, 1.0))
+        assert lr_mid == pytest.approx(1e-3, rel=1e-4)
+
+
+def _run_steps(cfg: Config, n_steps: int, state=None):
+    mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+    ds = get_dataset(cfg.data, "train")
+    if state is None:
+        state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        state = state._replace(params=shard_params(mesh, state.params))
+    step_fn = make_train_step(cfg, mesh)
+    batches = ds.batches(cfg.train.batch_size, seed=0)
+    history = []
+    for _ in range(n_steps):
+        rays_np, pix_np = next(batches)
+        rays, pixels = shard_batch(mesh, rays_np, pix_np)
+        state, aux = step_fn(state, rays, pixels)
+        history.append({k: float(v) for k, v in jax.device_get(aux).items()})
+    return state, history
+
+
+class TestTrainStep:
+    def test_joint_cadence_loss_decreases(self):
+        cfg = tiny_config("joint")
+        _, hist = _run_steps(cfg, 60)
+        first = np.mean([h["psnr"] for h in hist[:10]])
+        last = np.mean([h["psnr"] for h in hist[-10:]])
+        assert last > first + 1.0, (first, last)  # PSNR improves by >1dB
+
+    def test_reference_cadence_runs_and_improves(self):
+        cfg = tiny_config("reference")
+        state, hist = _run_steps(cfg, 40)
+        assert int(state.sched_count) == 120  # 3 scheduler steps per global step
+        first = np.mean([h["psnr"] for h in hist[:5]])
+        last = np.mean([h["psnr"] for h in hist[-5:]])
+        assert last > first, (first, last)
+
+    def test_all_finite_over_steps(self):
+        cfg = tiny_config("joint")
+        state, hist = _run_steps(cfg, 20)
+        for h in hist:
+            assert np.isfinite(h["loss"])
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    def test_step_counters(self):
+        cfg = tiny_config("joint")
+        state, _ = _run_steps(cfg, 7)
+        assert int(state.step) == 7
+        assert int(state.sched_count) == 7
+
+
+class TestSharding:
+    def test_data_parallel_matches_single_device(self):
+        cfg1 = tiny_config("joint")
+        cfg8 = dataclasses.replace(cfg1, mesh=MeshConfig(data=8, model=1))
+        _, h1 = _run_steps(cfg1, 5)
+        _, h8 = _run_steps(cfg8, 5)
+        for a, b in zip(h1, h8):
+            assert a["loss"] == pytest.approx(b["loss"], rel=2e-3), (a, b)
+
+    def test_tensor_parallel_compiles_and_matches(self):
+        cfg1 = tiny_config("joint")
+        cfg_tp = dataclasses.replace(cfg1, mesh=MeshConfig(data=4, model=2))
+        _, h1 = _run_steps(cfg1, 3)
+        _, htp = _run_steps(cfg_tp, 3)
+        for a, b in zip(h1, htp):
+            assert a["loss"] == pytest.approx(b["loss"], rel=2e-3)
+
+
+class TestCheckpoint:
+    def test_exact_resume(self, tmp_path):
+        cfg = tiny_config("joint")
+        state, _ = _run_steps(cfg, 5)
+        save_checkpoint(str(tmp_path), state, keep=2)
+
+        template = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        restored = restore_checkpoint(str(tmp_path), template)
+        assert int(restored.step) == 5
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # continuing from restored must match continuing from original
+        s1, h1 = _run_steps(cfg, 3, state=state)
+        s2, h2 = _run_steps(cfg, 3, state=restored)
+        for a, b in zip(h1, h2):
+            assert a["loss"] == pytest.approx(b["loss"], rel=1e-5)
+
+    def test_keep_prunes(self, tmp_path):
+        import os
+        cfg = tiny_config("joint")
+        state, _ = _run_steps(cfg, 1)
+        for fake_step in [1, 2, 3, 4]:
+            state = state._replace(step=jnp.asarray(fake_step))
+            save_checkpoint(str(tmp_path), state, keep=2)
+        files = [f for f in os.listdir(tmp_path) if f.startswith("ckpt_")]
+        assert len(files) == 2
