@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -36,7 +37,7 @@ def main():
 
     n_dev = len(jax.devices())
     cfg = Config(
-        model=ModelConfig(),  # flagship: 64 samples, 256-wide prop, 1024-wide nerf
+        model=ModelConfig(remat=args.remat),  # flagship: 64 samples, 256/1024-wide
         train=TrainConfig(batch_size=args.batch, cadence="joint"),
         data=DataConfig(),
         mesh=MeshConfig(data=n_dev, model=1),
@@ -53,15 +54,18 @@ def main():
 
     step_fn = make_train_step(cfg, mesh, donate=True)
 
+    # NOTE: a scalar device_get is the sync barrier — on the remote axon
+    # platform block_until_ready alone does not guarantee execution finished.
     for _ in range(args.warmup):
         state, aux = step_fn(state, rays, pixels)
-    jax.block_until_ready(state.params)
+    float(jax.device_get(aux["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, aux = step_fn(state, rays, pixels)
-    jax.block_until_ready(state.params)
+    final_loss = float(jax.device_get(aux["loss"]))
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     rays_per_sec = args.steps * args.batch / dt
     rays_per_sec_per_chip = rays_per_sec / n_dev

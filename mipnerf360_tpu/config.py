@@ -33,6 +33,9 @@ class ModelConfig:
     trunk_final_sigmoid: bool = True
     density_head_sigmoid: bool = True
     compute_dtype: str = "bfloat16"  # matmul dtype; params/accumulation stay f32
+    # Rematerialize the NeRF tower in backward (trade ~1/3 more FLOPs for
+    # O(depth) less activation memory -> much larger ray batches per chip).
+    remat: bool = False
 
     @property
     def input_dim(self) -> int:

@@ -97,10 +97,18 @@ def nerf_forward(params: Params, cfg: ModelConfig, rays: Rays, t_vals, weights,
                                 cfg.resample_padding)
     x = _encode(cfg, rays, new_t)
     dt = _compute_dtype(cfg)
-    feat = apply_mlp(params["nerf"]["trunk"], x, _trunk_activations(cfg), dt)
-    raw_density = apply_mlp(params["nerf"]["density"], feat,
-                            ["sigmoid" if cfg.density_head_sigmoid else "none"], dt)
-    raw_rgb = apply_mlp(params["nerf"]["rgb"], feat, ["sigmoid"], dt)
+
+    def tower(nerf_params, x):
+        feat = apply_mlp(nerf_params["trunk"], x, _trunk_activations(cfg), dt)
+        raw_density = apply_mlp(
+            nerf_params["density"], feat,
+            ["sigmoid" if cfg.density_head_sigmoid else "none"], dt)
+        raw_rgb = apply_mlp(nerf_params["rgb"], feat, ["sigmoid"], dt)
+        return raw_density, raw_rgb
+
+    if cfg.remat:
+        tower = jax.checkpoint(tower)
+    raw_density, raw_rgb = tower(params["nerf"], x)
 
     rgb = raw_rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
     density = jax.nn.softplus(raw_density[..., 0] + cfg.density_bias)

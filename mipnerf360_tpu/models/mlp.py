@@ -54,9 +54,16 @@ def apply_linear(layer, x, compute_dtype=jnp.bfloat16):
 
 
 def apply_mlp(params, x, activations: Sequence[str], compute_dtype=jnp.bfloat16):
-    """Apply the stack; ``activations[i]`` follows layer i ("none" for linear out)."""
+    """Apply the stack; ``activations[i]`` follows layer i ("none" for linear out).
+
+    Hidden activations are stored in ``compute_dtype`` (bf16 halves the
+    residual memory and HBM traffic the backward pass re-reads); matmuls
+    accumulate in f32 and the final layer's output is returned in f32.
+    """
     layers = params["layers"]
     assert len(layers) == len(activations), (len(layers), len(activations))
-    for layer, act in zip(layers, activations):
+    for i, (layer, act) in enumerate(zip(layers, activations)):
         x = ACTIVATIONS[act](apply_linear(layer, x, compute_dtype))
-    return x
+        if i + 1 < len(layers):
+            x = x.astype(compute_dtype)
+    return x.astype(jnp.float32)
