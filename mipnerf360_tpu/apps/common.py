@@ -28,16 +28,50 @@ def _coerce(current, raw: str):
     return t(raw) if current is not None else raw
 
 
-def config_from_args(args) -> Config:
-    cfg = get_config(args.preset)
+def apply_overrides(cfg: Config, sets) -> Config:
+    """Apply dotted K=V overrides with actionable error messages."""
     groups = {}
-    for kv in args.set:
-        key, _, raw = kv.partition("=")
-        group_name, _, field_name = key.partition(".")
+    for kv in sets:
+        key, eq, raw = kv.partition("=")
+        if not eq:
+            raise SystemExit(f"--set {kv!r}: expected K=V (e.g. train.batch_size=1024)")
+        group_name, dot, field_name = key.partition(".")
+        if not dot or not hasattr(cfg, group_name):
+            valid = ", ".join(f.name for f in dataclasses.fields(cfg)
+                              if dataclasses.is_dataclass(getattr(cfg, f.name)))
+            raise SystemExit(f"--set {key!r}: unknown group {group_name!r} "
+                             f"(valid groups: {valid})")
         group = getattr(cfg, group_name)
+        if not hasattr(group, field_name):
+            valid = ", ".join(f.name for f in dataclasses.fields(group))
+            raise SystemExit(f"--set {key!r}: unknown field {field_name!r} "
+                             f"in {group_name} (valid: {valid})")
         current = getattr(group, field_name)
-        groups.setdefault(group_name, {})[field_name] = _coerce(current, raw)
+        try:
+            value = _coerce(current, raw)
+        except ValueError:
+            raise SystemExit(
+                f"--set {key}={raw!r}: cannot parse as {type(current).__name__}")
+        groups.setdefault(group_name, {})[field_name] = value
     for name, overrides in groups.items():
         updated = dataclasses.replace(getattr(cfg, name), **overrides)
         cfg = dataclasses.replace(cfg, **{name: updated})
     return cfg
+
+
+def config_from_args(args, ckpt_dir: str = "") -> Config:
+    """Resolve a Config: checkpoint's saved config.json (if present) ->
+    preset -> CLI --set overrides (highest precedence)."""
+    import os
+
+    cfg = None
+    if ckpt_dir:
+        cfg_path = os.path.join(ckpt_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = Config.from_json(f.read())
+    if cfg is None:
+        cfg = get_config(args.preset)
+    elif args.preset:
+        cfg = get_config(args.preset)
+    return apply_overrides(cfg, args.set)

@@ -39,8 +39,11 @@ def main():
     ap.add_argument("--normals", action="store_true", help="write normal viz")
     args = ap.parse_args()
 
-    cfg = config_from_args(args)
-    ckpt_dir = args.ckpt or cfg.train.checkpoint_dir
+    # resolve the checkpoint dir first so its saved config.json (written by
+    # the trainer) supplies the model architecture without re-typing --set
+    pre = config_from_args(args)
+    ckpt_dir = args.ckpt or pre.train.checkpoint_dir
+    cfg = config_from_args(args, ckpt_dir=ckpt_dir)
     out_dir = args.out or os.path.join(ckpt_dir, "test")
     os.makedirs(out_dir, exist_ok=True)
 

@@ -66,6 +66,10 @@ class TrainConfig:
     log_every: int = 20
     checkpoint_dir: str = "ckpt"
     keep_checkpoints: int = 3
+    # Dump a jax.profiler trace of steps [profile_start, profile_start+5)
+    # into <profile_dir> (view with TensorBoard's profile plugin).
+    profile_dir: str = ""
+    profile_start: int = 10
 
 
 @dataclass(frozen=True)

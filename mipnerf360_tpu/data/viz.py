@@ -47,8 +47,9 @@ def sinebow(h):
 
 def _turbo_or_sinebow():
     try:
-        import matplotlib.cm as cm
-        turbo = cm.get_cmap("turbo")
+        import matplotlib
+
+        turbo = matplotlib.colormaps["turbo"]
         return lambda v: np.asarray(turbo(v))[..., :3]
     except Exception:
         return sinebow

@@ -68,9 +68,14 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     timer = Timer()
     aux = {}
     for step in range(start_step, max_steps):
+        if cfg.train.profile_dir and step == cfg.train.profile_start:
+            jax.profiler.start_trace(cfg.train.profile_dir)
         rays_np, pix_np = next(batches)
         rays, pixels = shard_batch(mesh, rays_np, pix_np)
         state, aux = step_fn(state, rays, pixels)
+        if cfg.train.profile_dir and step == cfg.train.profile_start + 4:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
 
         if (step + 1) % cfg.train.log_every == 0 or step == start_step:
             aux_host = {k: float(jax.device_get(v)) for k, v in aux.items()}

@@ -1,0 +1,91 @@
+"""Config system tests: presets, serialization, CLI overrides."""
+import argparse
+
+import pytest
+
+from mipnerf360_tpu.config import Config, PRESETS, get_config
+from mipnerf360_tpu.apps.common import add_config_args, apply_overrides, config_from_args
+
+
+class TestPresets:
+    def test_all_presets_construct(self):
+        for name, fn in PRESETS.items():
+            cfg = fn()
+            assert cfg.preset == name
+            assert cfg.model.num_samples > 0
+
+    def test_baseline_configs_covered(self):
+        # BASELINE.json's five benchmark configs
+        for name in ["tiny_lego", "blender_lego", "llff_fern", "garden",
+                     "bicycle_multihost"]:
+            assert name in PRESETS
+
+    def test_llff_uses_cylinder_and_no_white_bkgd(self):
+        cfg = get_config("llff_fern")
+        assert cfg.model.ray_shape == "cylinder"
+        assert cfg.model.white_bkgd is False
+        assert cfg.data.factor == 8  # reference config.py:64-68 llff override
+
+    def test_blender_uses_white_bkgd(self):
+        assert get_config("blender_lego").model.white_bkgd is True
+
+
+class TestSerialization:
+    def test_json_roundtrip(self):
+        cfg = get_config("garden")
+        cfg2 = Config.from_json(cfg.to_json())
+        assert cfg2 == cfg
+
+    def test_default_input_dim(self):
+        assert Config().model.input_dim == 58
+
+
+def _args(sets, preset=""):
+    ap = argparse.ArgumentParser()
+    add_config_args(ap)
+    return ap.parse_args(
+        ([] if not preset else ["--preset", preset]) +
+        [x for kv in sets for x in ("--set", kv)])
+
+
+class TestOverrides:
+    def test_basic_override(self):
+        cfg = config_from_args(_args(["train.batch_size=512"]))
+        assert cfg.train.batch_size == 512
+
+    def test_bool_override(self):
+        cfg = config_from_args(_args(["model.white_bkgd=true",
+                                      "model.remat=0"]))
+        assert cfg.model.white_bkgd is True
+        assert cfg.model.remat is False
+
+    def test_preset_plus_override(self):
+        cfg = config_from_args(_args(["data.factor=4"], preset="garden"))
+        assert cfg.preset == "garden"
+        assert cfg.data.factor == 4
+
+    def test_unknown_field_fails_with_listing(self):
+        with pytest.raises(SystemExit, match="unknown field"):
+            apply_overrides(Config(), ["model.nope=1"])
+
+    def test_unknown_group_fails(self):
+        with pytest.raises(SystemExit, match="unknown group"):
+            apply_overrides(Config(), ["nope.x=1"])
+
+    def test_unparsable_value_fails(self):
+        with pytest.raises(SystemExit, match="cannot parse"):
+            apply_overrides(Config(), ["train.batch_size=abc"])
+
+    def test_missing_equals_fails(self):
+        with pytest.raises(SystemExit, match="expected K=V"):
+            apply_overrides(Config(), ["train.batch_size"])
+
+    def test_ckpt_config_autoload(self, tmp_path):
+        cfg = get_config("tiny_lego")
+        with open(tmp_path / "config.json", "w") as f:
+            f.write(cfg.to_json())
+        loaded = config_from_args(_args(["train.batch_size=99"]),
+                                  ckpt_dir=str(tmp_path))
+        assert loaded.preset == "tiny_lego"
+        assert loaded.train.batch_size == 99
+        assert loaded.model.hidden_nerf == cfg.model.hidden_nerf

@@ -1,0 +1,218 @@
+"""Data-pipeline tests: loaders against fabricated on-disk datasets,
+ray generation, pose paths, synthetic scene, viz helpers."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mipnerf360_tpu.config import DataConfig
+from mipnerf360_tpu.data import get_dataset
+from mipnerf360_tpu.data.base import RayDataset
+from mipnerf360_tpu.data.pose import (
+    look_at,
+    poses_avg,
+    recenter_poses,
+    spherical_path,
+    spiral_path,
+)
+from mipnerf360_tpu.data.rays_gen import ndc_rays, pinhole_rays
+from mipnerf360_tpu.data.synthetic import synthetic_dataset
+from mipnerf360_tpu.data.viz import (
+    depth_to_normals,
+    to8b,
+    to_float,
+    visualize_depth,
+    visualize_normals,
+)
+
+
+def _write_png(path, arr_u8):
+    from PIL import Image
+
+    Image.fromarray(arr_u8).save(path)
+
+
+@pytest.fixture
+def blender_dir(tmp_path):
+    """Fabricate a minimal Blender-format dataset (transforms + RGBA PNGs)."""
+    rng = np.random.default_rng(0)
+    frames = []
+    for split in ["train", "test"]:
+        os.makedirs(tmp_path / split, exist_ok=True)
+        frames = []
+        for i in range(3):
+            img = rng.integers(0, 255, (16, 16, 4), dtype=np.uint8)
+            _write_png(tmp_path / split / f"r_{i}.png", img)
+            c2w = np.eye(4)
+            c2w[:3, 3] = [0, 0, 4 + i]
+            frames.append({"file_path": f"{split}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(tmp_path / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.69, "frames": frames}, f)
+    return str(tmp_path)
+
+
+@pytest.fixture
+def llff_dir(tmp_path):
+    """Fabricate a minimal LLFF dataset (images_4 + poses_bounds.npy)."""
+    rng = np.random.default_rng(1)
+    img_dir = tmp_path / "images_4"
+    os.makedirs(img_dir)
+    n = 10
+    for i in range(n):
+        _write_png(img_dir / f"img_{i:03d}.png",
+                   rng.integers(0, 255, (12, 16, 3), dtype=np.uint8))
+    poses_bounds = np.zeros((n, 17), np.float64)
+    for i in range(n):
+        th = 0.1 * i
+        c2w = look_at(np.array([np.sin(th) * 0.1, 0, 1.0]),
+                      np.array([0, 1.0, 0]),
+                      np.array([np.sin(th), 0.05 * i, 0.0]))
+        hwf = np.array([[48.0], [64.0], [50.0]])
+        # stored convention: [down, right, back] rows (inverse of loader swap)
+        m = np.concatenate([c2w, hwf], 1)
+        m = np.concatenate([-m[:, 1:2], m[:, 0:1], m[:, 2:]], 1)
+        poses_bounds[i, :15] = m.reshape(-1)
+        poses_bounds[i, 15:] = [1.0, 6.0]
+    np.save(tmp_path / "poses_bounds.npy", poses_bounds)
+    return str(tmp_path)
+
+
+class TestBlenderLoader:
+    def test_loads_and_flattens(self, blender_dir):
+        cfg = DataConfig(dataset="blender", base_dir=blender_dir, factor=1)
+        ds = get_dataset(cfg, "train")
+        assert isinstance(ds, RayDataset)
+        assert ds.n_images == 3
+        assert ds.h == ds.w == 16
+        assert ds.n_rays == 3 * 16 * 16
+        assert ds.pixels.shape == (ds.n_rays, 3)
+        assert np.all(np.isfinite(ds.rays.origins))
+
+    def test_downsample(self, blender_dir):
+        cfg = DataConfig(dataset="blender", base_dir=blender_dir, factor=2)
+        ds = get_dataset(cfg, "train")
+        assert ds.h == ds.w == 8
+
+    def test_white_bkgd_compositing(self, blender_dir):
+        cfg = DataConfig(dataset="blender", base_dir=blender_dir, factor=1)
+        ds = get_dataset(cfg, "train")
+        assert ds.pixels.min() >= 0.0 and ds.pixels.max() <= 1.0
+
+
+class TestLLFFLoader:
+    def test_train_test_split(self, llff_dir):
+        cfg = DataConfig(dataset="llff", base_dir=llff_dir, factor=4,
+                         near=0.0, far=1.0)
+        train = get_dataset(cfg, "train")
+        test = get_dataset(cfg, "test")
+        # every-8th holdout: 10 images -> 2 test (idx 0, 8), 8 train
+        assert test.n_images == 2
+        assert train.n_images == 8
+        assert train.near == 0.0 and train.far == 1.0
+
+    def test_ndc_rays_bounded(self, llff_dir):
+        cfg = DataConfig(dataset="llff", base_dir=llff_dir, factor=4,
+                         near=0.0, far=1.0)
+        ds = get_dataset(cfg, "train")
+        # NDC origins should be bounded (projection into the unit frustum)
+        assert np.all(np.abs(ds.rays.origins[:, 2]) <= 1.0 + 1e-4)
+        assert np.all(np.isfinite(ds.rays.directions))
+
+    def test_render_split_spiral(self, llff_dir):
+        cfg = DataConfig(dataset="llff", base_dir=llff_dir, factor=4,
+                         near=0.0, far=1.0)
+        ds = get_dataset(cfg, "render")
+        assert ds.pixels is None
+        assert ds.n_images == 120
+
+    def test_nerf360_render_split_spherified(self, llff_dir):
+        cfg = DataConfig(dataset="nerf_360", base_dir=llff_dir, factor=4,
+                         near=0.0, far=1.0)
+        ds = get_dataset(cfg, "render")
+        assert ds.pixels is None
+        assert ds.n_images == 120
+
+
+class TestRayGen:
+    def test_pinhole_directions_through_pixels(self):
+        c2w = np.eye(4)[None, :3, :4].astype(np.float32)
+        rays = pinhole_rays(c2w, 8, 8, 10.0, 2.0, 6.0)
+        assert rays.origins.shape == (1, 8, 8, 3)
+        # center pixels look along -z in camera frame
+        assert rays.directions[0, 4, 4, 2] < 0
+        # viewdirs unit norm
+        n = np.linalg.norm(rays.viewdirs, axis=-1)
+        np.testing.assert_allclose(n, 1.0, atol=1e-5)
+        assert np.all(rays.radii > 0)
+
+    def test_batches_iterator(self):
+        ds = synthetic_dataset(DataConfig(synthetic_resolution=8,
+                                          synthetic_views=2))
+        it = ds.batches(32, seed=0)
+        rays, pix = next(it)
+        assert rays.origins.shape == (32, 3)
+        assert pix.shape == (32, 3)
+        rays2, _ = next(it)
+        assert not np.array_equal(rays.origins, rays2.origins)
+
+    def test_image_accessor(self):
+        ds = synthetic_dataset(DataConfig(synthetic_resolution=8,
+                                          synthetic_views=2))
+        rays, pix = ds.image(1)
+        assert rays.origins.shape == (64, 3)
+        assert pix.shape == (64, 3)
+
+
+class TestPosePaths:
+    def test_spiral_path_shape(self):
+        p = spiral_path(np.array([1.0, 1.0, 1.0]), 5.0, 30)
+        assert p.shape == (30, 3, 4)
+        # rotations orthonormal
+        r = p[:, :3, :3]
+        rtr = np.einsum("nij,nkj->nik", r, r)
+        np.testing.assert_allclose(
+            rtr, np.broadcast_to(np.eye(3), rtr.shape), atol=1e-5)
+
+    def test_spherical_path_radius(self):
+        p = spherical_path(4.0, 20)
+        d = np.linalg.norm(p[:, :3, 3], axis=-1)
+        np.testing.assert_allclose(d, 4.0, rtol=1e-5)
+
+    def test_recenter_poses_centers(self):
+        rng = np.random.default_rng(0)
+        poses = np.zeros((5, 3, 5), np.float32)
+        for i in range(5):
+            poses[i, :, :4] = look_at(
+                rng.normal(size=3), np.array([0, 1.0, 0]), rng.normal(size=3))
+            poses[i, :, 4] = [10, 10, 5]
+        rec = recenter_poses(poses)
+        avg = poses_avg(rec)
+        np.testing.assert_allclose(avg[:3, 3], 0.0, atol=1e-5)
+        np.testing.assert_allclose(avg[:3, :3], np.eye(3), atol=1e-4)
+
+
+class TestViz:
+    def test_to8b_roundtrip(self):
+        x = np.array([[0.0, 0.5], [1.0, 2.0]])
+        u8 = to8b(x)
+        assert u8.dtype == np.uint8
+        assert u8[1, 1] == 255  # clipped
+        np.testing.assert_allclose(to_float(u8)[0, 1], 0.5, atol=0.01)
+
+    def test_depth_to_normals_flat_plane(self):
+        n = depth_to_normals(np.ones((8, 8)))
+        np.testing.assert_allclose(n[2:-2, 2:-2, 2], 1.0, atol=1e-6)
+
+    def test_visualize_depth_shapes(self):
+        depth = np.linspace(1, 5, 64).reshape(8, 8)
+        acc = np.ones((8, 8))
+        vis = visualize_depth(depth, acc, near=1.0, far=5.0)
+        assert vis.shape == (8, 8, 3)
+        assert vis.min() >= 0.0 and vis.max() <= 1.0
+
+    def test_visualize_normals_shapes(self):
+        depth = np.linspace(1, 5, 64).reshape(8, 8)
+        vis = visualize_normals(depth, np.ones((8, 8)))
+        assert vis.shape == (8, 8, 3)
