@@ -25,19 +25,20 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--pallas", default="auto", choices=["auto", "on", "off"])
     args = ap.parse_args()
 
     import jax
 
     from mipnerf360_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
-    from mipnerf360_tpu.core.rays import dummy_rays
-    from mipnerf360_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from mipnerf360_tpu.core.rays import dummy_rays, rays_map
+    from mipnerf360_tpu.parallel.mesh import make_mesh, shard_batch_stack, shard_params
     from mipnerf360_tpu.train.state import init_train_state
-    from mipnerf360_tpu.train.step import make_train_step
+    from mipnerf360_tpu.train.step import make_train_loop
 
     n_dev = len(jax.devices())
     cfg = Config(
-        model=ModelConfig(remat=args.remat),  # flagship: 64 samples, 256/1024-wide
+        model=ModelConfig(remat=args.remat, use_pallas=args.pallas),  # flagship
         train=TrainConfig(batch_size=args.batch, cadence="joint"),
         data=DataConfig(),
         mesh=MeshConfig(data=n_dev, model=1),
@@ -50,20 +51,24 @@ def main():
     rays_np = dummy_rays(args.batch)
     pixels_np = np.random.default_rng(0).uniform(
         0, 1, (args.batch, 3)).astype(np.float32)
-    rays, pixels = shard_batch(mesh, rays_np, pixels_np)
 
-    step_fn = make_train_step(cfg, mesh, donate=True)
+    # K steps fused into one XLA program (lax.scan): one dispatch per
+    # measurement, so per-call host/tunnel overhead (seconds over the remote
+    # axon tunnel) cannot masquerade as step time in either direction.
+    loop_fn = make_train_loop(cfg, mesh, donate=True)
+    stack = lambda x: np.broadcast_to(x[None], (args.steps,) + x.shape)
+    rays_s, pix_s = shard_batch_stack(
+        mesh, rays_map(stack, rays_np), stack(pixels_np))
 
+    # Warmup = one full-length call (same scan length -> one compile).
     # NOTE: a scalar device_get is the sync barrier — on the remote axon
     # platform block_until_ready alone does not guarantee execution finished.
-    for _ in range(args.warmup):
-        state, aux = step_fn(state, rays, pixels)
-    float(jax.device_get(aux["loss"]))
+    state, aux = loop_fn(state, rays_s, pix_s)
+    float(jax.device_get(aux["loss"][-1]))
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, aux = step_fn(state, rays, pixels)
-    final_loss = float(jax.device_get(aux["loss"]))
+    state, aux = loop_fn(state, rays_s, pix_s)
+    final_loss = float(jax.device_get(aux["loss"][-1]))
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
 

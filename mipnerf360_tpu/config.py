@@ -33,6 +33,10 @@ class ModelConfig:
     trunk_final_sigmoid: bool = True
     density_head_sigmoid: bool = True
     compute_dtype: str = "bfloat16"  # matmul dtype; params/accumulation stay f32
+    # Fused Pallas TPU kernels for the transmittance scan and inverse-CDF
+    # resample (ops/pallas/). "auto": on when running on a TPU backend;
+    # "on"/"off" force either path. Both are numerically equivalent.
+    use_pallas: str = "auto"
     # Rematerialize the NeRF tower in backward (trade ~1/3 more FLOPs for
     # O(depth) less activation memory -> much larger ray batches per chip).
     remat: bool = False

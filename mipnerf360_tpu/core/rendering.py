@@ -30,14 +30,12 @@ def compute_alpha_weights(density, t_vals, dirs):
     return alpha * trans, trans
 
 
-def volumetric_rendering(rgb, density, t_vals, dirs, white_bkgd: bool):
-    """Composite per-sample (rgb, density) into per-ray outputs.
+def composite_outputs(rgb, weights, t_vals, white_bkgd: bool):
+    """Reduce per-sample rgb with precomputed weights into per-ray outputs.
 
-    rgb: [..., N, 3]; density: [..., N]; t_vals: [..., N+1]; dirs: [..., 3].
-    Returns (comp_rgb [..., 3], distance [...], acc [...], weights [..., N]).
+    rgb: [..., N, 3]; weights: [..., N]; t_vals: [..., N+1].
+    Returns (comp_rgb [..., 3], distance [...], acc [...]).
     """
-    weights, _ = compute_alpha_weights(density, t_vals, dirs)
-
     comp_rgb = jnp.sum(weights[..., None] * rgb, axis=-2)
     acc = jnp.sum(weights, axis=-1)
 
@@ -48,4 +46,15 @@ def volumetric_rendering(rgb, density, t_vals, dirs, white_bkgd: bool):
 
     if white_bkgd:
         comp_rgb = comp_rgb + (1.0 - acc[..., None])
+    return comp_rgb, distance, acc
+
+
+def volumetric_rendering(rgb, density, t_vals, dirs, white_bkgd: bool):
+    """Composite per-sample (rgb, density) into per-ray outputs.
+
+    rgb: [..., N, 3]; density: [..., N]; t_vals: [..., N+1]; dirs: [..., 3].
+    Returns (comp_rgb [..., 3], distance [...], acc [...], weights [..., N]).
+    """
+    weights, _ = compute_alpha_weights(density, t_vals, dirs)
+    comp_rgb, distance, acc = composite_outputs(rgb, weights, t_vals, white_bkgd)
     return comp_rgb, distance, acc, weights

@@ -30,9 +30,10 @@ from ..config import ModelConfig
 from ..core.encoding import integrated_pos_enc, viewdir_enc
 from ..core.gaussians import cast_rays
 from ..core.rays import Rays, rays_map
-from ..core.rendering import compute_alpha_weights, volumetric_rendering
-from ..core.sampling import resample_along_rays, sample_along_rays
+from ..core.rendering import composite_outputs
+from ..core.sampling import sample_along_rays
 from ..core.spacing import t_to_s
+from ..ops import fused
 from .mlp import apply_mlp, init_mlp
 
 Params = Dict[str, Any]
@@ -85,7 +86,8 @@ def prop_forward(params: Params, cfg: ModelConfig, rays: Rays, key,
     x = _encode(cfg, rays, t_vals)
     raw = apply_mlp(params["prop"], x, _prop_activations(cfg), _compute_dtype(cfg))
     density = jax.nn.softplus(raw[..., 0] + cfg.density_bias)
-    weights, _ = compute_alpha_weights(density, t_vals, rays.directions)
+    weights = fused.compute_alpha_weights(
+        density, t_vals, rays.directions, cfg.use_pallas)
     return t_vals, weights
 
 
@@ -93,8 +95,8 @@ def nerf_forward(params: Params, cfg: ModelConfig, rays: Rays, t_vals, weights,
                  key, randomized: bool):
     """NeRF level: resample -> encode -> trunk -> heads -> composite
     (model.py:163-200)."""
-    new_t = resample_along_rays(key, t_vals, weights, randomized,
-                                cfg.resample_padding)
+    new_t = fused.resample_along_rays(key, t_vals, weights, randomized,
+                                      cfg.resample_padding, cfg.use_pallas)
     x = _encode(cfg, rays, new_t)
     dt = _compute_dtype(cfg)
 
@@ -112,8 +114,10 @@ def nerf_forward(params: Params, cfg: ModelConfig, rays: Rays, t_vals, weights,
 
     rgb = raw_rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
     density = jax.nn.softplus(raw_density[..., 0] + cfg.density_bias)
-    comp_rgb, distance, acc, w = volumetric_rendering(
-        rgb, density, new_t, rays.directions, cfg.white_bkgd)
+    w = fused.compute_alpha_weights(
+        density, new_t, rays.directions, cfg.use_pallas)
+    comp_rgb, distance, acc = composite_outputs(
+        rgb, w, new_t, cfg.white_bkgd)
     s_vals = t_to_s(new_t, rays.near, rays.far)
     return {
         "rgb": comp_rgb,

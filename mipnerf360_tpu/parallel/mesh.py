@@ -59,6 +59,16 @@ def shard_batch(mesh: Mesh, rays: Rays, pixels=None):
     return rays, jax.device_put(np.asarray(pixels), sh)
 
 
+def shard_batch_stack(mesh: Mesh, rays: Rays, pixels=None):
+    """Place a [K, B, ...] stack of K per-step batches (for the scanned
+    multi-step train loop): the ray axis (dim 1) splits over "data"."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    rays = rays_map(lambda x: jax.device_put(np.asarray(x), sh), rays)
+    if pixels is None:
+        return rays
+    return rays, jax.device_put(np.asarray(pixels), sh)
+
+
 def param_shardings(mesh: Mesh, params) -> Any:
     """Sharding tree for params: replicated by default; NeRF trunk hidden dims
     sharded over "model" when that axis is >1 (Megatron alternation)."""

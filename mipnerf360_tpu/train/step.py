@@ -176,3 +176,28 @@ def make_train_step(cfg: Config, mesh=None, donate: bool = True):
           else joint_cadence_step)
     step = functools.partial(fn, cfg)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_loop(cfg: Config, mesh=None, donate: bool = True):
+    """K train steps fused into ONE XLA program via ``lax.scan``.
+
+    Call as ``loop(state, rays_stack, pixels_stack)`` where every leaf of the
+    ray pytree has a leading [K] axis (one entry per step). Returns the final
+    state and the per-step aux dict stacked to [K].
+
+    One host dispatch per K steps instead of per step. The per-call dispatch
+    overhead is irrelevant on a local TPU host, but over a remote-device
+    tunnel it can dwarf the step itself; training loops should sync with the
+    host only at log/checkpoint boundaries regardless (no host round trips
+    inside the scan body; all scalars come back as stacked device arrays).
+    """
+    fn = (reference_cadence_step if cfg.train.cadence == "reference"
+          else joint_cadence_step)
+
+    def loop(state, rays_stack, pixels_stack):
+        def body(carry, batch):
+            rays, pixels = batch
+            return fn(cfg, carry, rays, pixels)
+        return jax.lax.scan(body, state, (rays_stack, pixels_stack))
+
+    return jax.jit(loop, donate_argnums=(0,) if donate else ())

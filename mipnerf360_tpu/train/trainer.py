@@ -17,11 +17,12 @@ from ..core.rays import Rays
 from ..data import get_dataset
 from ..losses.photometric import photometric_loss
 from ..models.mipnerf360 import render_rays
-from ..parallel.mesh import batch_sharding, make_mesh, shard_batch, shard_params
+from ..parallel.mesh import (batch_sharding, make_mesh, shard_batch,
+                             shard_batch_stack, shard_params)
 from ..utils.logging import MetricsLogger, Timer
 from .checkpoint import latest_checkpoint_step, restore_checkpoint, save_checkpoint
 from .state import TrainState, init_train_state
-from .step import make_train_step
+from .step import make_train_loop
 
 
 def evaluate_batch(cfg: Config, params, rays: Rays, pixels) -> float:
@@ -54,7 +55,7 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
         start_step = int(state.step)
     state = state._replace(params=shard_params(mesh, state.params))
 
-    step_fn = make_train_step(cfg, mesh)
+    loop_fn = make_train_loop(cfg, mesh)
     logger = MetricsLogger(cfg.train.checkpoint_dir)
     if jax.process_index() == 0:
         import os
@@ -66,44 +67,62 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     eval_batches = eval_dataset.batches(cfg.train.batch_size,
                                         seed=cfg.train.seed + 1)
     timer = Timer()
-    aux = {}
-    for step in range(start_step, max_steps):
-        if cfg.train.profile_dir and step == cfg.train.profile_start:
+
+    # Steps are dispatched in scanned chunks of ``log_every``: one XLA
+    # program per chunk (train/step.py:make_train_loop), host sync only at
+    # log boundaries. eval/save cadences land on the first chunk boundary at
+    # or past their multiple (exact when they are multiples of log_every).
+    chunk = max(1, cfg.train.log_every)
+
+    def crossed(every: int, start: int, end: int) -> bool:
+        return bool(every) and (end // every) > (start // every)
+
+    step = start_step
+    while step < max_steps:
+        k = min(chunk - step % chunk, max_steps - step)
+        stacked = [next(batches) for _ in range(k)]
+        rays_np = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[b[0] for b in stacked])
+        pix_np = np.stack([b[1] for b in stacked])
+        rays, pixels = shard_batch_stack(mesh, rays_np, pix_np)
+
+        profiling = (cfg.train.profile_dir
+                     and step <= cfg.train.profile_start < step + k)
+        if profiling:
             jax.profiler.start_trace(cfg.train.profile_dir)
-        rays_np, pix_np = next(batches)
-        rays, pixels = shard_batch(mesh, rays_np, pix_np)
-        state, aux = step_fn(state, rays, pixels)
-        if cfg.train.profile_dir and step == cfg.train.profile_start + 4:
+        state, aux = loop_fn(state, rays, pixels)
+        if profiling:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
 
-        if (step + 1) % cfg.train.log_every == 0 or step == start_step:
-            aux_host = {k: float(jax.device_get(v)) for k, v in aux.items()}
-            dt = timer.lap()
-            steps_done = cfg.train.log_every if step != start_step else 1
-            scalars = {
-                "train/loss": aux_host.get("loss", 0.0),
-                "train/avg_psnr": aux_host.get("psnr", 0.0),
-                "train/lr": aux_host.get("lr", 0.0),
-                "train/loss_nerf": aux_host.get("loss_nerf", 0.0),
-                "train/loss_dist": aux_host.get("loss_dist", 0.0),
-                "train/loss_prop": aux_host.get("loss_prop", 0.0),
-                "perf/steps_per_sec": steps_done / dt,
-                "perf/rays_per_sec": steps_done * cfg.train.batch_size / dt,
-            }
-            logger.log(step + 1, scalars)
-            if on_step is not None:
-                on_step(step + 1, scalars)
+        aux_host = {name: float(jax.device_get(v[-1]))
+                    for name, v in aux.items()}
+        dt = timer.lap()
+        new_step = step + k
+        scalars = {
+            "train/loss": aux_host.get("loss", 0.0),
+            "train/avg_psnr": aux_host.get("psnr", 0.0),
+            "train/lr": aux_host.get("lr", 0.0),
+            "train/loss_nerf": aux_host.get("loss_nerf", 0.0),
+            "train/loss_dist": aux_host.get("loss_dist", 0.0),
+            "train/loss_prop": aux_host.get("loss_prop", 0.0),
+            "perf/steps_per_sec": k / dt,
+            "perf/rays_per_sec": k * cfg.train.batch_size / dt,
+        }
+        logger.log(new_step, scalars)
+        if on_step is not None:
+            on_step(new_step, scalars)
 
-        if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
+        if crossed(cfg.train.eval_every, step, new_step):
             er, ep = next(eval_batches)
             er, ep = shard_batch(mesh, er, ep)
             psnr = evaluate_batch(cfg, state.params, er, ep)
-            logger.log(step + 1, {"eval/psnr": psnr})
+            logger.log(new_step, {"eval/psnr": psnr})
 
-        if cfg.train.save_every and (step + 1) % cfg.train.save_every == 0:
+        if crossed(cfg.train.save_every, step, new_step):
             save_checkpoint(cfg.train.checkpoint_dir, state,
                             cfg.train.keep_checkpoints)
+        step = new_step
 
     save_checkpoint(cfg.train.checkpoint_dir, state, cfg.train.keep_checkpoints)
     logger.close()

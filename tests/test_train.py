@@ -17,6 +17,7 @@ from mipnerf360_tpu.train import (
     restore_checkpoint,
     save_checkpoint,
 )
+from mipnerf360_tpu.train.step import make_train_loop
 
 
 def tiny_config(cadence="joint", **train_overrides) -> Config:
@@ -99,6 +100,41 @@ class TestTrainStep:
         state, _ = _run_steps(cfg, 7)
         assert int(state.step) == 7
         assert int(state.sched_count) == 7
+
+
+class TestTrainLoop:
+    def test_scanned_loop_matches_sequential(self):
+        """K scanned steps (one XLA program) == K per-step dispatches."""
+        from mipnerf360_tpu.core.rays import dummy_rays
+        from mipnerf360_tpu.parallel.mesh import shard_batch_stack
+
+        cfg = tiny_config()
+        mesh = make_mesh(1, 1)
+        state0 = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        state0 = state0._replace(params=shard_params(mesh, state0.params))
+        rays_np = dummy_rays(cfg.train.batch_size)
+        pix_np = np.random.default_rng(0).uniform(
+            0, 1, (cfg.train.batch_size, 3)).astype(np.float32)
+
+        step_fn = make_train_step(cfg, mesh, donate=False)
+        rays, pixels = shard_batch(mesh, rays_np, pix_np)
+        s_seq = state0
+        for _ in range(4):
+            s_seq, aux_seq = step_fn(s_seq, rays, pixels)
+
+        stack = lambda x: np.broadcast_to(x[None], (4,) + x.shape)
+        rays_s, pix_s = shard_batch_stack(
+            mesh, rays_map(stack, rays_np), stack(pix_np))
+        loop_fn = make_train_loop(cfg, mesh, donate=False)
+        s_scan, auxs = loop_fn(state0, rays_s, pix_s)
+
+        for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                        jax.tree_util.tree_leaves(s_scan.params)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        assert auxs["loss"].shape == (4,)
+        assert float(aux_seq["loss"]) == pytest.approx(
+            float(auxs["loss"][-1]), rel=1e-5)
+        assert int(s_scan.step) == 4
 
 
 class TestSharding:
