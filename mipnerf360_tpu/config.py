@@ -40,6 +40,11 @@ class ModelConfig:
     # Rematerialize the NeRF tower in backward (trade ~1/3 more FLOPs for
     # O(depth) less activation memory -> much larger ray batches per chip).
     remat: bool = False
+    # Factored frustum->IPE encode (core/fused_encode.py): exploits the rank-1
+    # structure of the lifted covariance and contraction Jacobian to skip all
+    # [B, N, 3, 3] tensors. Numerically equivalent to the general path
+    # (tests/test_fused_encode.py); "off" falls back to cast_rays + IPE.
+    factored_encode: bool = True
 
     @property
     def input_dim(self) -> int:
@@ -74,6 +79,10 @@ class TrainConfig:
     # into <profile_dir> (view with TensorBoard's profile plugin).
     profile_dir: str = ""
     profile_start: int = 10
+    # Guard training state/metrics for NaN/Inf at every log boundary and abort
+    # with the offending param paths (utils/checks.py). Cheap on-device
+    # reduction; off by default for the hot loop.
+    check_nans: bool = False
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..core.encoding import integrated_pos_enc, viewdir_enc
+from ..core.fused_encode import factored_ipe
 from ..core.gaussians import cast_rays
 from ..core.rays import Rays, rays_map
 from ..core.rendering import composite_outputs
@@ -71,9 +72,13 @@ def _trunk_activations(cfg: ModelConfig):
 
 def _encode(cfg: ModelConfig, rays: Rays, t_vals):
     """Cast intervals to contracted Gaussians and build MLP input features."""
-    means, covs = cast_rays(
-        t_vals, rays.origins, rays.directions, rays.radii, ray_shape=cfg.ray_shape)
-    pos = integrated_pos_enc(means, covs)                       # [B, N, 42]
+    if cfg.factored_encode:
+        pos = factored_ipe(t_vals, rays.origins, rays.directions, rays.radii,
+                           ray_shape=cfg.ray_shape)             # [B, N, 42]
+    else:
+        means, covs = cast_rays(t_vals, rays.origins, rays.directions,
+                                rays.radii, ray_shape=cfg.ray_shape)
+        pos = integrated_pos_enc(means, covs)                   # [B, N, 42]
     view = viewdir_enc(rays.viewdirs, cfg.viewdir_min_deg, cfg.viewdir_max_deg)
     view = jnp.broadcast_to(view[..., None, :], pos.shape[:-1] + (view.shape[-1],))
     return jnp.concatenate([pos, view], axis=-1)

@@ -7,3 +7,4 @@ from .mesh import (
     param_shardings,
     shard_params,
 )
+from .sample_axis import make_sample_sharded_composite

@@ -7,6 +7,8 @@ resume, rays/s + steps/s counters (the BASELINE.json metric).
 """
 from __future__ import annotations
 
+import signal
+import threading
 from typing import Callable, Optional
 
 import jax
@@ -32,6 +34,27 @@ def evaluate_batch(cfg: Config, params, rays: Rays, pixels) -> float:
                       randomized=False)
     _, psnr = photometric_loss(out["rgb"], pixels)
     return float(jax.device_get(psnr))
+
+
+def install_preemption_handler(signals=(signal.SIGTERM, signal.SIGINT)):
+    """Failure-detection hook (SURVEY.md §5): a crash in the reference loses
+    everything since the last periodic checkpoint (train.py:98-100). Here
+    SIGTERM/SIGINT (the preemption notice on TPU VMs) sets a flag; the train
+    loop flushes a checkpoint at the next chunk boundary and exits cleanly.
+
+    Returns (flag, restore). Signal handlers only work in the main thread —
+    elsewhere (tests, driver harnesses) the flag degrades to never-set."""
+    flag = threading.Event()
+    if threading.current_thread() is not threading.main_thread():
+        return flag, lambda: None
+    prev = {s: signal.signal(s, lambda signum, frame: flag.set())
+            for s in signals}
+
+    def restore():
+        for s, h in prev.items():
+            signal.signal(s, h)
+
+    return flag, restore
 
 
 def train(cfg: Config, *, max_steps: Optional[int] = None,
@@ -78,7 +101,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
         return bool(every) and (end // every) > (start // every)
 
     step = start_step
-    while step < max_steps:
+    preempted, restore_signals = install_preemption_handler()
+    while step < max_steps and not preempted.is_set():
         k = min(chunk - step % chunk, max_steps - step)
         stacked = [next(batches) for _ in range(k)]
         rays_np = jax.tree_util.tree_map(
@@ -97,6 +121,12 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
 
         aux_host = {name: float(jax.device_get(v[-1]))
                     for name, v in aux.items()}
+        if cfg.train.check_nans:
+            from ..utils.checks import assert_tree_finite
+
+            assert_tree_finite(
+                {"params": state.params, "aux": aux_host},
+                context=f"at step {step + k}")
         dt = timer.lap()
         new_step = step + k
         scalars = {
@@ -124,6 +154,9 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                             cfg.train.keep_checkpoints)
         step = new_step
 
+    restore_signals()
+    if preempted.is_set() and step < max_steps:
+        print(f"[preempted] flushing checkpoint at step {step}")
     save_checkpoint(cfg.train.checkpoint_dir, state, cfg.train.keep_checkpoints)
     logger.close()
     return state

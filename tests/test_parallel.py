@@ -1,0 +1,78 @@
+"""Sample-axis (context-parallel) composite: exactness vs the single-device
+renderer on the virtual 8-device CPU mesh (SURVEY.md §2.2 — the CP/SP
+analogue; the transmittance scan decomposed across shards)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mipnerf360_tpu.core.rendering import volumetric_rendering
+from mipnerf360_tpu.parallel.mesh import make_mesh
+from mipnerf360_tpu.parallel.sample_axis import make_sample_sharded_composite
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    B, N = 16, 64
+    t = np.sort(rng.uniform(0.1, 6.0, (B, N + 1)), axis=-1).astype(np.float32)
+    density = rng.gamma(1.0, 2.0, (B, N)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (B, N, 3)).astype(np.float32)
+    dirs = rng.normal(size=(B, 3)).astype(np.float32)
+    return jnp.asarray(rgb), jnp.asarray(density), jnp.asarray(t), jnp.asarray(dirs)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize("white_bkgd", [False, True])
+def test_matches_single_device(batch, n_shards, white_bkgd):
+    rgb, density, t_vals, dirs = batch
+    mesh = make_mesh(data=len(jax.devices()) // n_shards, model=n_shards)
+    composite = make_sample_sharded_composite(mesh, "model", white_bkgd)
+
+    got_rgb, got_dist, got_acc, got_w = jax.jit(composite)(
+        rgb, density, t_vals, dirs)
+    want_rgb, want_dist, want_acc, want_w = volumetric_rendering(
+        rgb, density, t_vals, dirs, white_bkgd)
+
+    np.testing.assert_allclose(got_rgb, want_rgb, atol=1e-5)
+    np.testing.assert_allclose(got_dist, want_dist, atol=1e-5)
+    np.testing.assert_allclose(got_acc, want_acc, atol=1e-5)
+    np.testing.assert_allclose(got_w, want_w, atol=1e-5)
+
+
+def test_weights_come_back_sample_sharded(batch):
+    rgb, density, t_vals, dirs = batch
+    mesh = make_mesh(data=1, model=8)
+    composite = make_sample_sharded_composite(mesh, "model")
+    _, _, _, w = jax.jit(composite)(rgb, density, t_vals, dirs)
+    assert w.shape == density.shape
+    spec = w.sharding.spec
+    assert spec[1] == "model", spec
+
+
+def test_rejects_indivisible_sample_axis(batch):
+    rgb, density, t_vals, dirs = batch
+    mesh = make_mesh(data=1, model=8)
+    composite = make_sample_sharded_composite(mesh, "model")
+    with pytest.raises(AssertionError):
+        composite(rgb[:, :63], density[:, :63], t_vals[:, :64], dirs)
+
+
+def test_gradients_match_single_device(batch):
+    """The collective decomposition must be transparent to autodiff (training
+    with a sharded sample axis needs exact grads)."""
+    rgb, density, t_vals, dirs = batch
+    mesh = make_mesh(data=1, model=4)
+    composite = make_sample_sharded_composite(mesh, "model")
+
+    def loss_sharded(d):
+        r, _, a, _ = composite(rgb, d, t_vals, dirs)
+        return jnp.sum(r ** 2) + jnp.sum(a)
+
+    def loss_ref(d):
+        r, _, a, _ = volumetric_rendering(rgb, d, t_vals, dirs, False)
+        return jnp.sum(r ** 2) + jnp.sum(a)
+
+    g1 = jax.jit(jax.grad(loss_sharded))(density)
+    g2 = jax.grad(loss_ref)(density)
+    np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-4)
