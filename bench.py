@@ -60,11 +60,15 @@ def main():
     rays_s, pix_s = shard_batch_stack(
         mesh, rays_map(stack, rays_np), stack(pixels_np))
 
-    # Warmup = one full-length call (same scan length -> one compile).
+    # Warmup: full-length calls (same scan length -> one compile). Measured
+    # on the axon remote runtime: call 1 compiles, call 2 is ~10x slower than
+    # steady state (runtime-internal lazy setup), call 3+ are steady — so at
+    # least 2 warmup calls are required for an honest reading.
     # NOTE: a scalar device_get is the sync barrier — on the remote axon
     # platform block_until_ready alone does not guarantee execution finished.
-    state, aux = loop_fn(state, rays_s, pix_s)
-    float(jax.device_get(aux["loss"][-1]))
+    for _ in range(max(2, args.warmup)):
+        state, aux = loop_fn(state, rays_s, pix_s)
+        float(jax.device_get(aux["loss"][-1]))
 
     t0 = time.perf_counter()
     state, aux = loop_fn(state, rays_s, pix_s)

@@ -40,6 +40,21 @@ class RayDataset:
             idx = rng.integers(0, n, size=(batch_size,))
             yield rays_map(lambda x: x[idx], self.rays), self.pixels[idx]
 
+    def batch_stack(self, k: int, batch_size: int, seed: int, start_step: int
+                    ) -> Tuple[Rays, np.ndarray]:
+        """K per-step batches as one [K, B, c] stack for the scanned train
+        loop — sampled and gathered by the native batcher (parallel C++,
+        NumPy-fallback bit-identical). The index stream is stateless in
+        (seed, global ray counter), so data order is resume-deterministic
+        and independent of the dispatch chunking."""
+        from ..native import fill_batch_stack
+
+        total = k * batch_size
+        arrays = list(self.rays) + [self.pixels]
+        outs = fill_batch_stack(seed, start_step * batch_size, total, arrays)
+        outs = [o.reshape(k, batch_size, o.shape[-1]) for o in outs]
+        return Rays(*outs[:-1]), outs[-1]
+
     def image(self, i: int) -> Tuple[Rays, Optional[np.ndarray]]:
         """All rays (and pixels) of image ``i``, flattened [H*W, c]."""
         per = self.h * self.w

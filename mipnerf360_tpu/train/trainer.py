@@ -86,7 +86,6 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
         with open(f"{cfg.train.checkpoint_dir}/config.json", "w") as f:
             f.write(cfg.to_json())
 
-    batches = dataset.batches(cfg.train.batch_size, seed=cfg.train.seed)
     eval_batches = eval_dataset.batches(cfg.train.batch_size,
                                         seed=cfg.train.seed + 1)
     timer = Timer()
@@ -104,10 +103,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     preempted, restore_signals = install_preemption_handler()
     while step < max_steps and not preempted.is_set():
         k = min(chunk - step % chunk, max_steps - step)
-        stacked = [next(batches) for _ in range(k)]
-        rays_np = jax.tree_util.tree_map(
-            lambda *xs: np.stack(xs), *[b[0] for b in stacked])
-        pix_np = np.stack([b[1] for b in stacked])
+        rays_np, pix_np = dataset.batch_stack(
+            k, cfg.train.batch_size, cfg.train.seed, step)
         rays, pixels = shard_batch_stack(mesh, rays_np, pix_np)
 
         profiling = (cfg.train.profile_dir
