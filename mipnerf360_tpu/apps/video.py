@@ -63,12 +63,17 @@ def main():
     print(f"restored step={int(state.step)} from {ckpt_dir}")
 
     ds = get_dataset(cfg.data, "render")
+    mesh = None
+    if len(jax.devices()) > 1:  # data-parallel rendering across the mesh
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()), 1)
     rgb_frames, depth_frames, normal_frames = [], [], []
     for i in range(ds.n_images):
         rays_np, _ = ds.image(i)
         rays = rays_to_device(rays_np)
         rgb, dist, acc = render_image(state.params, cfg.model, rays,
-                                      chunk=args.chunk)
+                                      chunk=args.chunk, mesh=mesh)
         rgb = np.asarray(jax.device_get(rgb)).reshape(ds.h, ds.w, 3)
         dist = np.asarray(jax.device_get(dist)).reshape(ds.h, ds.w)
         acc = np.asarray(jax.device_get(acc)).reshape(ds.h, ds.w)

@@ -147,15 +147,20 @@ def render_rays(params: Params, cfg: ModelConfig, rays: Rays, key,
 
 
 def render_image(params: Params, cfg: ModelConfig, rays: Rays, *,
-                 chunk: int = 8192, key=None):
+                 chunk: int = 8192, key=None, mesh=None):
     """Render a flat [n_rays] batch deterministically, chunked on device.
 
     Counterpart of model.py:254-274 but with a single jitted ``lax.map`` over
     equal-size chunks (rays padded up to a multiple of ``chunk``).
-    Returns (rgb [n,3], distance [n], acc [n]) as device arrays.
+    With ``mesh``, each chunk's ray axis is sharded over the "data" axis so
+    rendering runs data-parallel across the mesh (chunk is rounded up to a
+    multiple of the axis size). Returns (rgb [n,3], distance [n], acc [n]).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        chunk = -(-chunk // n_data) * n_data
     n = rays.origins.shape[0]
     pad = (-n) % chunk
     padded = rays_map(
@@ -164,6 +169,11 @@ def render_image(params: Params, cfg: ModelConfig, rays: Rays, *,
         if pad else x,
         rays)
     chunked = rays_map(lambda x: x.reshape(-1, chunk, x.shape[-1]), padded)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(None, "data"))
+        chunked = rays_map(lambda x: jax.device_put(x, sh), chunked)
 
     def render_chunk(chunk_rays):
         out = render_rays(params, cfg, chunk_rays, key, randomized=False)

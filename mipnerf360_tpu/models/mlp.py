@@ -56,14 +56,18 @@ def apply_linear(layer, x, compute_dtype=jnp.bfloat16):
 def apply_mlp(params, x, activations: Sequence[str], compute_dtype=jnp.bfloat16):
     """Apply the stack; ``activations[i]`` follows layer i ("none" for linear out).
 
-    Hidden activations are stored in ``compute_dtype`` (bf16 halves the
-    residual memory and HBM traffic the backward pass re-reads); matmuls
-    accumulate in f32 and the final layer's output is returned in f32.
+    Matmuls accumulate in f32; hidden pre-activations are cast to
+    ``compute_dtype`` BEFORE the activation so the residuals autodiff saves
+    for backward are bf16, not f32 — this halves the dominant HLO-temp
+    allocation (measured: f32[B,N,1024] per trunk layer) and the HBM traffic
+    the backward re-reads. For ReLU the cast commutes exactly
+    (relu(cast(y)) == cast(relu(y))); the final layer's output stays f32.
     """
     layers = params["layers"]
     assert len(layers) == len(activations), (len(layers), len(activations))
     for i, (layer, act) in enumerate(zip(layers, activations)):
-        x = ACTIVATIONS[act](apply_linear(layer, x, compute_dtype))
+        y = apply_linear(layer, x, compute_dtype)
         if i + 1 < len(layers):
-            x = x.astype(compute_dtype)
+            y = y.astype(compute_dtype)
+        x = ACTIVATIONS[act](y)
     return x.astype(jnp.float32)

@@ -1,0 +1,45 @@
+"""Multi-host runtime over jax.distributed loopback (SURVEY.md §4: the
+distributed-test mechanism the reference lacks): 2 coordinator-connected
+processes x 2 virtual CPU devices run one data-parallel train step on a
+global 4-device mesh from process-local batch shards and must agree
+bit-exactly on the loss and the updated params."""
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_step_agrees():
+    port = _free_port()
+    nproc = 2
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(nproc), str(port)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pid={pid}:\n{out}"
+        assert f"OK pid={pid}" in out, f"pid={pid}:\n{out}"

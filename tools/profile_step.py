@@ -99,6 +99,26 @@ def main():
     timed_scan("encode (cast_rays+IPE)", lambda c: jnp.sum(
         _encode(mcfg, jitter_rays(c), tv).astype(jnp.float32)) * 1e-9, K)
 
+    # 4b. losses + resample fwd/bwd at flagship shapes
+    from mipnerf360_tpu.core.sampling import resample_along_rays
+    from mipnerf360_tpu.losses.distillation import distillation_loss
+    from mipnerf360_tpu.losses.distortion import distortion_loss
+
+    kw = jax.random.split(key, 4)
+    w_fine = jax.random.uniform(kw[0], (B, N))
+    t_fine = jnp.sort(jax.random.uniform(kw[1], (B, N + 1)) * 5 + 0.1, axis=-1)
+    w_coarse = jax.random.uniform(kw[2], (B, N))
+    t_coarse = jnp.sort(jax.random.uniform(kw[3], (B, N + 1)) * 5 + 0.1, axis=-1)
+    sv = jnp.linspace(0, 1, N + 1)[None].repeat(B, 0)
+
+    timed_scan("resample (blur+inv-CDF)", lambda c: jnp.sum(
+        resample_along_rays(key, t_coarse + c * 1e-12, w_coarse, True, 0.01)), K)
+    timed_scan("distillation loss fwd+bwd", lambda c: jax.grad(
+        lambda wc: distillation_loss(t_fine, w_fine, t_coarse, wc + c * 1e-12)
+    )(w_coarse).sum(), K)
+    timed_scan("distortion loss fwd+bwd", lambda c: jax.grad(
+        lambda w: distortion_loss(sv, w + c * 1e-12))(w_fine).sum(), K)
+
     # 5. full train step (joint cadence) via the production scanned loop
     mesh = make_mesh(1, 1)
     state = init_train_state(jax.random.PRNGKey(0), mcfg, cfg.train)
