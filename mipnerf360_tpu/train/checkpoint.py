@@ -25,6 +25,48 @@ from .state import TrainState
 _CKPT_RE = re.compile(r"^ckpt_(\d+)\.msgpack$")
 
 
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes (SURVEY.md §5: async writes).
+
+    ``save()`` snapshots the state ON DEVICE (cheap copy ops, ordered before
+    any later donating train step) and hands the host transfer +
+    serialization + atomic write to a single worker thread, so training does
+    not stall on the device->host pull (seconds over a remote-device link).
+    At most one write is in flight; a second ``save`` first drains the
+    previous one. Call ``wait()`` before process exit / the final sync save.
+    """
+
+    def __init__(self):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+        self._pending = None
+
+    @staticmethod
+    def _snapshot(x):
+        if isinstance(x, jax.Array):
+            import jax.numpy as jnp
+
+            return jnp.copy(x)
+        return x
+
+    def save(self, ckpt_dir: str, state: TrainState, keep: int = 3):
+        snap = jax.tree_util.tree_map(self._snapshot, state)
+        self.wait()
+        self._pending = self._pool.submit(save_checkpoint, ckpt_dir, snap, keep)
+
+    def wait(self):
+        """Drain the in-flight write (re-raises its exception, if any)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self):
+        self.wait()
+        self._pool.shutdown(wait=True)
+
+
 def _is_primary() -> bool:
     return jax.process_index() == 0
 

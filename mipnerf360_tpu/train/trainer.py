@@ -22,7 +22,8 @@ from ..models.mipnerf360 import render_rays
 from ..parallel.mesh import (batch_sharding, make_mesh, shard_batch,
                              shard_batch_stack, shard_params)
 from ..utils.logging import MetricsLogger, Timer
-from .checkpoint import latest_checkpoint_step, restore_checkpoint, save_checkpoint
+from .checkpoint import (AsyncCheckpointer, latest_checkpoint_step,
+                         restore_checkpoint, save_checkpoint)
 from .state import TrainState, init_train_state
 from .step import make_train_loop
 
@@ -99,13 +100,20 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     def crossed(every: int, start: int, end: int) -> bool:
         return bool(every) and (end // every) > (start // every)
 
+    def stage(at_step: int):
+        """Assemble + upload the next chunk's batch (native sampler)."""
+        k = min(chunk - at_step % chunk, max_steps - at_step)
+        rays_np, pix_np = dataset.batch_stack(
+            k, cfg.train.batch_size, cfg.train.seed, at_step)
+        rays, pixels = shard_batch_stack(mesh, rays_np, pix_np)
+        return k, rays, pixels
+
     step = start_step
     preempted, restore_signals = install_preemption_handler()
+    ckpt_writer = AsyncCheckpointer()
+    staged = stage(step) if step < max_steps else None
     while step < max_steps and not preempted.is_set():
-        k = min(chunk - step % chunk, max_steps - step)
-        rays_np, pix_np = dataset.batch_stack(
-            k, cfg.train.batch_size, cfg.train.seed, step)
-        rays, pixels = shard_batch_stack(mesh, rays_np, pix_np)
+        k, rays, pixels = staged
 
         profiling = (cfg.train.profile_dir
                      and step <= cfg.train.profile_start < step + k)
@@ -115,6 +123,10 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
         if profiling:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
+
+        # Prefetch the next chunk while the device executes this one
+        # (dispatch above is async; the device_get below is the sync point).
+        staged = stage(step + k) if step + k < max_steps else None
 
         aux_host = {name: float(jax.device_get(v[-1]))
                     for name, v in aux.items()}
@@ -147,13 +159,15 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             logger.log(new_step, {"eval/psnr": psnr})
 
         if crossed(cfg.train.save_every, step, new_step):
-            save_checkpoint(cfg.train.checkpoint_dir, state,
-                            cfg.train.keep_checkpoints)
+            # Device-side snapshot + background write; training continues.
+            ckpt_writer.save(cfg.train.checkpoint_dir, state,
+                             cfg.train.keep_checkpoints)
         step = new_step
 
     restore_signals()
     if preempted.is_set() and step < max_steps:
         print(f"[preempted] flushing checkpoint at step {step}")
+    ckpt_writer.close()  # drain in-flight write before the final sync save
     save_checkpoint(cfg.train.checkpoint_dir, state, cfg.train.keep_checkpoints)
     logger.close()
     return state
