@@ -63,11 +63,9 @@ def main():
     print(f"restored step={int(state.step)} from {ckpt_dir}")
 
     ds = get_dataset(cfg.data, "render")
-    mesh = None
-    if len(jax.devices()) > 1:  # data-parallel rendering across the mesh
-        from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import default_render_mesh
 
-        mesh = make_mesh(len(jax.devices()), 1)
+    mesh = default_render_mesh()  # data-parallel rendering across the mesh
     rgb_frames, depth_frames, normal_frames = [], [], []
     for i in range(ds.n_images):
         rays_np, _ = ds.image(i)

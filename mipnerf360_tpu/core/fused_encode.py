@@ -67,12 +67,16 @@ def factored_ipe(t_vals, origins, directions, radii, ray_shape: str = "cone",
     p_mu = jnp.einsum("kc,...c->...k", p, mu)                # [..., N, 21]
     p_d = jnp.einsum("kc,...c->...k", p, d)[..., None, :]    # [..., 1, 21]
 
-    # Contraction scalars (contract.py closed form).
+    # Contraction scalars (contract.py closed form). Denominators use the
+    # _NORM_EPS-clamped n (NOT raw n2): at mu ~ 0 the unselected outside
+    # branch would otherwise compute x/0 = inf and poison the backward pass
+    # through the jnp.where (0 * inf = NaN in the grad of the selected
+    # branch) — regression-tested in test_fused_encode.py.
     n2 = jnp.sum(mu * mu, axis=-1)                           # [..., N]
     n = jnp.sqrt(jnp.maximum(n2, _NORM_EPS))
     inside = n2 <= 1.0
-    a = jnp.where(inside, 1.0, (2.0 * n - 1.0) / n2)
-    b = jnp.where(inside, 0.0, 1.0 / n2 - a)
+    a = jnp.where(inside, 1.0, (2.0 * n - 1.0) / (n * n))
+    b = jnp.where(inside, 0.0, 1.0 / (n * n) - a)
 
     # Per-point contracted-covariance scalars.
     d_dot_muhat = jnp.sum(mu * d[..., None, :], axis=-1) / n  # delta . muhat

@@ -34,13 +34,21 @@ def _default_threads() -> int:
 
 
 def _build() -> bool:
+    # Per-process temp name: concurrent first imports (multi-host on shared
+    # storage, parallel pytest) must never rename a half-written file from
+    # another process into place; each writes its own tmp, renames atomically.
+    tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC_PATH, "-o", _SO_PATH + ".tmp"]
+           _SRC_PATH, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_SO_PATH + ".tmp", _SO_PATH)
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 

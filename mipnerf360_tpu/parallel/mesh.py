@@ -45,6 +45,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def default_render_mesh() -> Optional[Mesh]:
+    """All-data-axis mesh for eval/video rendering, or None on one device
+    (the policy shared by apps/eval.py and apps/video.py)."""
+    n = len(jax.devices())
+    return make_mesh(n, 1) if n > 1 else None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (ray-batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))

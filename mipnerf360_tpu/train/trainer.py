@@ -7,6 +7,7 @@ resume, rays/s + steps/s counters (the BASELINE.json metric).
 """
 from __future__ import annotations
 
+import functools
 import signal
 import threading
 from typing import Callable, Optional
@@ -28,13 +29,24 @@ from .state import TrainState, init_train_state
 from .step import make_train_loop
 
 
+@functools.lru_cache(maxsize=8)  # Config is a frozen dataclass (hashable)
+def make_eval_fn(cfg: Config):
+    """Jitted single-batch PSNR (reference eval_model, train.py:106-116 —
+    which also evaluates one batch). Cached per config so repeated
+    evaluate_batch calls compile once."""
+
+    @jax.jit
+    def eval_fn(params, rays: Rays, pixels):
+        out = render_rays(params, cfg.model, rays, jax.random.PRNGKey(0),
+                          randomized=False)
+        _, psnr = photometric_loss(out["rgb"], pixels)
+        return psnr
+
+    return eval_fn
+
+
 def evaluate_batch(cfg: Config, params, rays: Rays, pixels) -> float:
-    """PSNR on one batch, deterministic sampling (reference eval_model,
-    train.py:106-116 — which also evaluates a single batch)."""
-    out = render_rays(params, cfg.model, rays, jax.random.PRNGKey(0),
-                      randomized=False)
-    _, psnr = photometric_loss(out["rgb"], pixels)
-    return float(jax.device_get(psnr))
+    return float(jax.device_get(make_eval_fn(cfg)(params, rays, pixels)))
 
 
 def install_preemption_handler(signals=(signal.SIGTERM, signal.SIGINT)):
@@ -43,18 +55,26 @@ def install_preemption_handler(signals=(signal.SIGTERM, signal.SIGINT)):
     SIGTERM/SIGINT (the preemption notice on TPU VMs) sets a flag; the train
     loop flushes a checkpoint at the next chunk boundary and exits cleanly.
 
-    Returns (flag, restore). Signal handlers only work in the main thread —
-    elsewhere (tests, driver harnesses) the flag degrades to never-set."""
+    The FIRST signal sets the flag and immediately restores the previous
+    handlers, so a second signal force-interrupts (e.g. when the process is
+    blocked in a device_get that never returns — a documented remote-tunnel
+    failure mode). Returns (flag, restore). Signal handlers only work in the
+    main thread — elsewhere (tests, driver harnesses) the flag degrades to
+    never-set."""
     flag = threading.Event()
     if threading.current_thread() is not threading.main_thread():
         return flag, lambda: None
-    prev = {s: signal.signal(s, lambda signum, frame: flag.set())
-            for s in signals}
+    prev = {}
 
     def restore():
         for s, h in prev.items():
             signal.signal(s, h)
 
+    def handler(signum, frame):
+        flag.set()
+        restore()  # second signal gets the default/previous behavior
+
+    prev.update({s: signal.signal(s, handler) for s in signals})
     return flag, restore
 
 
@@ -111,63 +131,78 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     step = start_step
     preempted, restore_signals = install_preemption_handler()
     ckpt_writer = AsyncCheckpointer()
+    eval_fn = None  # built lazily (jitted once) on the first eval boundary
     staged = stage(step) if step < max_steps else None
-    while step < max_steps and not preempted.is_set():
-        k, rays, pixels = staged
+    try:
+        while step < max_steps and not preempted.is_set():
+            k, rays, pixels = staged
 
-        profiling = (cfg.train.profile_dir
-                     and step <= cfg.train.profile_start < step + k)
-        if profiling:
-            jax.profiler.start_trace(cfg.train.profile_dir)
-        state, aux = loop_fn(state, rays, pixels)
-        if profiling:
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
+            profiling = (cfg.train.profile_dir
+                         and step <= cfg.train.profile_start < step + k)
+            if profiling:
+                jax.profiler.start_trace(cfg.train.profile_dir)
+            state, aux = loop_fn(state, rays, pixels)
+            if profiling:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
 
-        # Prefetch the next chunk while the device executes this one
-        # (dispatch above is async; the device_get below is the sync point).
-        staged = stage(step + k) if step + k < max_steps else None
+            # Prefetch the next chunk while the device executes this one
+            # (dispatch above is async; the device_get below is the sync point).
+            staged = stage(step + k) if step + k < max_steps else None
 
-        aux_host = {name: float(jax.device_get(v[-1]))
-                    for name, v in aux.items()}
-        if cfg.train.check_nans:
-            from ..utils.checks import assert_tree_finite
+            aux_host = {name: float(jax.device_get(v[-1]))
+                        for name, v in aux.items()}
+            if cfg.train.check_nans:
+                from ..utils.checks import assert_tree_finite
 
-            assert_tree_finite(
-                {"params": state.params, "aux": aux_host},
-                context=f"at step {step + k}")
-        dt = timer.lap()
-        new_step = step + k
-        scalars = {
-            "train/loss": aux_host.get("loss", 0.0),
-            "train/avg_psnr": aux_host.get("psnr", 0.0),
-            "train/lr": aux_host.get("lr", 0.0),
-            "train/loss_nerf": aux_host.get("loss_nerf", 0.0),
-            "train/loss_dist": aux_host.get("loss_dist", 0.0),
-            "train/loss_prop": aux_host.get("loss_prop", 0.0),
-            "perf/steps_per_sec": k / dt,
-            "perf/rays_per_sec": k * cfg.train.batch_size / dt,
-        }
-        logger.log(new_step, scalars)
-        if on_step is not None:
-            on_step(new_step, scalars)
+                # aux values are Python floats; wrap as numpy scalars so the
+                # dtype-based leaf filter in count_nonfinite inspects them too.
+                aux_np = {name: np.float32(v) for name, v in aux_host.items()}
+                assert_tree_finite(
+                    {"params": state.params, "aux": aux_np},
+                    context=f"at step {step + k}")
+            dt = timer.lap()
+            new_step = step + k
+            scalars = {
+                "train/loss": aux_host.get("loss", 0.0),
+                "train/avg_psnr": aux_host.get("psnr", 0.0),
+                "train/lr": aux_host.get("lr", 0.0),
+                "train/loss_nerf": aux_host.get("loss_nerf", 0.0),
+                "train/loss_dist": aux_host.get("loss_dist", 0.0),
+                "train/loss_prop": aux_host.get("loss_prop", 0.0),
+                "perf/steps_per_sec": k / dt,
+                "perf/rays_per_sec": k * cfg.train.batch_size / dt,
+            }
+            logger.log(new_step, scalars)
+            if on_step is not None:
+                on_step(new_step, scalars)
 
-        if crossed(cfg.train.eval_every, step, new_step):
-            er, ep = next(eval_batches)
-            er, ep = shard_batch(mesh, er, ep)
-            psnr = evaluate_batch(cfg, state.params, er, ep)
-            logger.log(new_step, {"eval/psnr": psnr})
+            if crossed(cfg.train.eval_every, step, new_step):
+                if eval_fn is None:
+                    eval_fn = make_eval_fn(cfg)
+                er, ep = next(eval_batches)
+                er, ep = shard_batch(mesh, er, ep)
+                psnr = float(jax.device_get(eval_fn(state.params, er, ep)))
+                logger.log(new_step, {"eval/psnr": psnr})
 
-        if crossed(cfg.train.save_every, step, new_step):
-            # Device-side snapshot + background write; training continues.
-            ckpt_writer.save(cfg.train.checkpoint_dir, state,
-                             cfg.train.keep_checkpoints)
-        step = new_step
+            if crossed(cfg.train.save_every, step, new_step):
+                # Device-side snapshot + background write; training continues.
+                ckpt_writer.save(cfg.train.checkpoint_dir, state,
+                                 cfg.train.keep_checkpoints)
+            step = new_step
 
-    restore_signals()
+    finally:
+        # Always restore process-global signal handlers and drain/stop the
+        # checkpoint worker, even when the loop raises (NonFiniteError,
+        # staging failure, re-raised checkpoint-write error, ...).
+        restore_signals()
+        try:
+            ckpt_writer.close()  # drain in-flight write before the sync save
+        except Exception:
+            logger.close()
+            raise
     if preempted.is_set() and step < max_steps:
         print(f"[preempted] flushing checkpoint at step {step}")
-    ckpt_writer.close()  # drain in-flight write before the final sync save
     save_checkpoint(cfg.train.checkpoint_dir, state, cfg.train.keep_checkpoints)
     logger.close()
     return state

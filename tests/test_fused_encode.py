@@ -53,6 +53,23 @@ def test_gradients_match_general_path(ray_shape):
         np.testing.assert_allclose(b, a, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("ray_shape", ["cone", "cylinder"])
+def test_gradient_finite_when_sample_mean_hits_origin(ray_shape):
+    """A ray through the contraction center (mu = 0 for one sample) must not
+    produce NaN gradients: the outside-branch division feeding jnp.where has
+    to use the eps-clamped norm or its inf poisons the backward pass."""
+    t = jnp.array([[1.9, 2.1]])          # cylinder t_mean = exactly 2.0
+    o = jnp.array([[-2.0, 0.0, 0.0]])    # => mean = o + 2.0*d = origin
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    r = jnp.array([[0.01]])
+
+    def loss(o):
+        return jnp.sum(factored_ipe(t, o, d, r, ray_shape=ray_shape))
+
+    g = jax.grad(loss)(o)
+    assert bool(jnp.all(jnp.isfinite(g))), g
+
+
 def test_rejects_unknown_ray_shape():
     args = make_inputs()
     with pytest.raises(ValueError):
