@@ -19,6 +19,36 @@ import time
 import numpy as np
 
 
+def bench_render(args):
+    """Deterministic full-image render throughput (model.render_image)."""
+    import jax
+
+    from mipnerf360_tpu.config import ModelConfig
+    from mipnerf360_tpu.core.rays import dummy_rays, rays_to_device
+    from mipnerf360_tpu.models.mipnerf360 import init_model, render_image
+
+    cfg = ModelConfig(use_pallas=args.pallas)  # flagship
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    n_rays = args.batch * args.steps  # one "image" worth of rays
+    rays = rays_to_device(dummy_rays(n_rays))
+
+    def run():
+        rgb, dist, acc = render_image(params, cfg, rays, chunk=args.batch)
+        return float(jax.device_get(rgb[0, 0]))  # scalar sync barrier
+
+    for _ in range(max(2, args.warmup)):  # >=2: see the train-mode comment
+        run()
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "render_rays_per_sec_per_chip",
+        "value": round(n_rays / dt / len(jax.devices()), 1),
+        "unit": "rays/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
@@ -26,7 +56,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--pallas", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument("--mode", default="train", choices=["train", "render"],
+                    help="render: deterministic render_image throughput "
+                         "(the eval/video serving path) instead of training")
     args = ap.parse_args()
+
+    if args.mode == "render":
+        return bench_render(args)
 
     import jax
 

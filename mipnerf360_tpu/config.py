@@ -62,7 +62,15 @@ class TrainConfig:
     lr_delay_steps: int = 2500
     lr_delay_mult: float = 0.1
     weight_decay: float = 1e-5
-    dist_loss_weight: float = 0.01   # config.py:32 ``dist_weight_decay``
+    # Distortion-regularizer strength + reduction. The reference uses
+    # 0.01 x SUM over its fixed 64-ray batch (config.py:32, train.py:77);
+    # because the photometric term (30 - PSNR) is batch-size-invariant, that
+    # sum makes the regularizer batch/64 times stronger at other batch sizes.
+    # Default: per-ray MEAN with weight 0.64 = 0.01 * 64 — identical total
+    # loss at the reference's operating point, invariant everywhere else.
+    # Strict parity: dist_loss_weight=0.01, dist_loss_reduction="sum".
+    dist_loss_weight: float = 0.64
+    dist_loss_reduction: str = "mean"  # "mean" | "sum"
     # Training cadence. "reference": 2 inner proposal updates + 1 nerf update
     # per global step, scheduler stepped 3x (train.py:51-82). "joint": one
     # fused update of all losses per step (the paper's cadence; ~3x faster).

@@ -25,11 +25,16 @@ def _midpoints_and_dists(s_vals):
     return mids, dists
 
 
-def distortion_loss(s_vals, weights):
+def distortion_loss(s_vals, weights, reduction: str = "sum"):
     """Exact O(N) distortion loss.
 
     s_vals: [..., N+1] (sorted ascending); weights: [..., N].
-    Returns a scalar: sum over all rays of the per-ray distortion.
+    reduction "sum": sum over all rays (the reference's scale,
+    regularization.py:13-17 — calibrated for its fixed 64-ray batch).
+    reduction "mean": per-ray mean — batch-size-invariant, so the weight in
+    the total loss keeps the same meaning at any batch size (the photometric
+    term 30-PSNR is batch-invariant too; with "sum" the regularizer is
+    effectively batch/64 times stronger than the reference's operating point).
     """
     mids, dists = _midpoints_and_dists(s_vals)
     # Exclusive prefix sums over the sample axis.
@@ -40,7 +45,8 @@ def distortion_loss(s_vals, weights):
     # sum_{i,j} w_i w_j |m_i - m_j| = 2 * sum_i w_i (m_i * CW_{<i} - CWM_{<i})
     pairwise = 2.0 * jnp.sum(weights * (mids * excl_cw - excl_cwm), axis=-1)
     self_term = jnp.sum(weights**2 * dists, axis=-1) / 3.0
-    return jnp.sum(pairwise + self_term)
+    per_ray = pairwise + self_term
+    return jnp.mean(per_ray) if reduction == "mean" else jnp.sum(per_ray)
 
 
 def distortion_loss_quadratic(s_vals, weights):

@@ -83,7 +83,8 @@ def _nerf_phase(params, opt, opt_state, model_cfg, train_cfg, rays, pixels,
         w_prop = jax.lax.stop_gradient(w_prop)
         out = nerf_forward(p, model_cfg, rays, t_prop, w_prop, k2, randomized)
         loss_nerf, psnr = photometric_loss(out["rgb"], pixels)
-        loss_dist = distortion_loss(out["s_vals"], out["weights"])
+        loss_dist = distortion_loss(out["s_vals"], out["weights"],
+                                    train_cfg.dist_loss_reduction)
         total = loss_nerf + train_cfg.dist_loss_weight * loss_dist
         return total, {"psnr": psnr, "loss_nerf": loss_nerf,
                        "loss_dist": loss_dist}
@@ -141,7 +142,8 @@ def joint_cadence_step(cfg: Config, state: TrainState, rays: Rays,
         t_prop, w_prop, out = _forward_both(
             params, cfg.model, rays, sub, randomized)
         loss_nerf, psnr = photometric_loss(out["rgb"], pixels)
-        loss_dist = distortion_loss(out["s_vals"], out["weights"])
+        loss_dist = distortion_loss(out["s_vals"], out["weights"],
+                                    cfg.train.dist_loss_reduction)
         loss_prop = distillation_loss(
             jax.lax.stop_gradient(out["t_vals"]),
             jax.lax.stop_gradient(out["weights"]),
