@@ -56,7 +56,7 @@ def main():
     from ..parallel.mesh import default_render_mesh
 
     mesh = default_render_mesh()  # data-parallel rendering across the mesh
-    psnrs = []
+    psnrs, ssims = [], []
     for i in range(ds.n_images):
         rays_np, pix = ds.image(i)
         rays = rays_to_device(rays_np)
@@ -75,14 +75,22 @@ def main():
                       to8b(visualize_normals(dist, acc)))
 
         if pix is not None:
+            from ..utils import metrics
+
             target = pix.reshape(ds.h, ds.w, 3)
-            mse = float(np.mean((rgb - target) ** 2))
-            psnr = -10.0 * np.log10(mse)
+            psnr = metrics.psnr(rgb, target)
+            s = metrics.ssim(rgb, target) if min(ds.h, ds.w) >= 11 else None
             psnrs.append(psnr)
-            print(f"[{i + 1}/{ds.n_images}] PSNR={psnr:.2f}")
+            ssims.append(s)
+            line = f"[{i + 1}/{ds.n_images}] PSNR={psnr:.2f}"
+            if s is not None:
+                line += f" SSIM={s:.4f}"
+            print(line)
 
     if psnrs:
         print(f"mean PSNR over {len(psnrs)} views: {np.mean(psnrs):.3f}")
+        if all(s is not None for s in ssims):
+            print(f"mean SSIM over {len(ssims)} views: {np.mean(ssims):.4f}")
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ is one flag away.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -175,9 +176,22 @@ def render_image(params: Params, cfg: ModelConfig, rays: Rays, *,
         sh = NamedSharding(mesh, P(None, "data"))
         chunked = rays_map(lambda x: jax.device_put(x, sh), chunked)
 
-    def render_chunk(chunk_rays):
-        out = render_rays(params, cfg, chunk_rays, key, randomized=False)
-        return out["rgb"], out["distance"], out["acc"]
-
-    rgb, distance, acc = jax.lax.map(render_chunk, chunked)
+    rgb, distance, acc = _render_map_fn(cfg)(params, chunked, key)
     return (rgb.reshape(-1, 3)[:n], distance.reshape(-1)[:n], acc.reshape(-1)[:n])
+
+
+@functools.lru_cache(maxsize=None)  # ModelConfig is frozen/hashable
+def _render_map_fn(cfg: ModelConfig):
+    """One jitted program for the whole chunked render. An eager-level
+    lax.map re-dispatches per call and measured 10-20x slower than the same
+    computation under jit on the remote TPU runtime (173k vs ~15k rays/s)."""
+
+    @jax.jit
+    def fn(params, chunked_rays, key):
+        def render_chunk(chunk_rays):
+            out = render_rays(params, cfg, chunk_rays, key, randomized=False)
+            return out["rgb"], out["distance"], out["acc"]
+
+        return jax.lax.map(render_chunk, chunked_rays)
+
+    return fn
