@@ -57,9 +57,24 @@ def test_s_t_roundtrip(near, span, s):
     far_a = np.full((1, 1), near + span, np.float32)
     t = s_to_t(jnp.asarray(s)[None], near_a, far_a)
     s2 = t_to_s(t, near_a, far_a)
-    # f32 catastrophic cancellation in g(near)-g(far) bounds the achievable
-    # round-trip accuracy when span << near; 5e-4 still catches real breakage.
-    np.testing.assert_allclose(np.asarray(s2)[0], s, atol=5e-4)
+    # Both transforms are written in cancellation-free form (differences of
+    # original magnitudes, never of reciprocals), so the round trip holds to
+    # a few ulp of the interval even when span << near.
+    np.testing.assert_allclose(np.asarray(s2)[0], s, atol=1e-5)
+
+
+def test_s_t_roundtrip_narrow_interval_regression():
+    # Round-1 hypothesis counterexample: near=8.0, far=8.125, s=0. The old
+    # g(g(near)) form applied eps twice and the g(far)-g(near) denominator
+    # cancelled catastrophically, giving |s2| ~ 6e-5 and t < near.
+    near = np.full((1, 1), 8.0, np.float32)
+    far = np.full((1, 1), 8.125, np.float32)
+    s = jnp.asarray([0.0, 0.5, 1.0], np.float32)[None]
+    t = s_to_t(s, near, far)
+    np.testing.assert_allclose(np.asarray(t)[0, 0], 8.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t)[0, 2], 8.125, atol=1e-5)
+    s2 = t_to_s(t, near, far)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-5)
 
 
 @_SET
