@@ -27,6 +27,13 @@ class ModelConfig:
     white_bkgd: bool = False
     viewdir_min_deg: int = 0
     viewdir_max_deg: int = 4
+    # IPE frequency scales 2^i, i in [ipe_min_deg, ipe_max_deg). The
+    # reference drops the paper's 2^k scaling entirely (README.md:7) — its
+    # own README blames non-convergence on such simplifications — so the
+    # parity default is a single scale [0, 1). The paper-faithful encoding
+    # (and the main quality lever) is max_deg ~ 5-8.
+    ipe_min_deg: int = 0
+    ipe_max_deg: int = 1
     ray_shape: str = "cone"          # "cone" | "cylinder"
     # Reference quirks, reproduced by default for parity (model.py:51,147,150-158):
     # a Sigmoid on the last trunk layer and on the raw-density head.
@@ -48,9 +55,11 @@ class ModelConfig:
 
     @property
     def input_dim(self) -> int:
-        # 21*2 IPE features + 4 scales * 2 angles * 2 (sin,cos); reference
-        # hardcodes 58 at model.py:39,127.
-        return 42 + 4 * (self.viewdir_max_deg - self.viewdir_min_deg)
+        # 21*2 IPE features per scale + 4 viewdir scales * 2 angles * 2
+        # (sin,cos); reference hardcodes 58 at model.py:39,127 (one IPE
+        # scale).
+        return (42 * (self.ipe_max_deg - self.ipe_min_deg)
+                + 4 * (self.viewdir_max_deg - self.viewdir_min_deg))
 
 
 @dataclass(frozen=True)
@@ -80,6 +89,13 @@ class TrainConfig:
     seed: int = 0
     save_every: int = 1000
     eval_every: int = 100
+    # Full held-out-image eval during training: render one test view every
+    # N steps (cycling through the test split) and log eval/psnr_image +
+    # eval/ssim. 0 = off. This goes beyond the reference, whose in-training
+    # eval is a single random 64-ray batch (train.py:106-116) — kept as
+    # eval_every for cadence parity.
+    eval_image_every: int = 0
+    eval_image_chunk: int = 8192
     log_every: int = 20
     checkpoint_dir: str = "ckpt"
     keep_checkpoints: int = 3
@@ -104,6 +120,20 @@ class DataConfig:
     # synthetic (procedural) scene controls — used when no data is on disk
     synthetic_resolution: int = 64
     synthetic_views: int = 16
+    # Render-split (video path) controls for blender/synthetic scenes —
+    # counterpart of the reference's NeRFDataset ctor args (dataset.py:39)
+    # and generate_render_poses (dataset.py:75-89): a synthesized camera
+    # path, spiral (spherify=False) or spherical (spherify=True), rendered
+    # at a fixed resolution/focal independent of the training images.
+    # LLFF/nerf_360 ignore these: their render paths are fit to the scene's
+    # recentered training poses (data/llff.py).
+    n_render_poses: int = 120
+    render_spherify: bool = False
+    render_radius: float = 4.0       # spherical-path orbit radius
+    render_radii: float = 1.0        # spiral-path radii (broadcast to xyz)
+    render_h: int = 800
+    render_w: int = 800
+    render_focal: float = 1200.0
 
 
 @dataclass(frozen=True)

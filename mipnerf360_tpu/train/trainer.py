@@ -49,6 +49,30 @@ def evaluate_batch(cfg: Config, params, rays: Rays, pixels) -> float:
     return float(jax.device_get(make_eval_fn(cfg)(params, rays, pixels)))
 
 
+def evaluate_image(cfg: Config, params, dataset, index: int,
+                   mesh=None) -> dict:
+    """Render one full held-out view and score it (PSNR, and SSIM when the
+    view is large enough for the 11x11 SSIM window). The reference's
+    in-training eval is a single random 64-ray batch (train.py:106-116);
+    this is the framework's own quality signal at the image level, reusing
+    the jitted chunked render from apps/eval."""
+    from ..core.rays import rays_to_device
+    from ..models.mipnerf360 import render_image
+    from ..utils import metrics
+
+    rays_np, pix = dataset.image(index)
+    rgb, _, _ = render_image(params, cfg.model, rays_to_device(rays_np),
+                             chunk=cfg.train.eval_image_chunk, mesh=mesh)
+    rgb = np.asarray(jax.device_get(rgb)).reshape(dataset.h, dataset.w, 3)
+    out = {}
+    if pix is not None:
+        target = pix.reshape(dataset.h, dataset.w, 3)
+        out["eval/psnr_image"] = float(metrics.psnr(rgb, target))
+        if min(dataset.h, dataset.w) >= 11:
+            out["eval/ssim"] = float(metrics.ssim(rgb, target))
+    return out
+
+
 def install_preemption_handler(signals=(signal.SIGTERM, signal.SIGINT)):
     """Failure-detection hook (SURVEY.md §5): a crash in the reference loses
     everything since the last periodic checkpoint (train.py:98-100). Here
@@ -184,6 +208,13 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                 er, ep = shard_batch(mesh, er, ep)
                 psnr = float(jax.device_get(eval_fn(state.params, er, ep)))
                 logger.log(new_step, {"eval/psnr": psnr})
+
+            if (crossed(cfg.train.eval_image_every, step, new_step)
+                    and eval_dataset.n_images > 0):
+                logger.log(new_step, evaluate_image(
+                    cfg, state.params, eval_dataset,
+                    (new_step // cfg.train.eval_image_every - 1)
+                    % eval_dataset.n_images, mesh=mesh))
 
             if crossed(cfg.train.save_every, step, new_step):
                 # Device-side snapshot + background write; training continues.

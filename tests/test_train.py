@@ -137,20 +137,42 @@ class TestTrainLoop:
         assert int(s_scan.step) == 4
 
 
+def _assert_param_trees_close(p_a, p_b, rtol, atol):
+    flat_a, tdef_a = jax.tree_util.tree_flatten_with_path(p_a)
+    flat_b, tdef_b = jax.tree_util.tree_flatten_with_path(p_b)
+    assert tdef_a == tdef_b
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
 class TestSharding:
-    def test_data_parallel_matches_single_device(self):
-        cfg1 = tiny_config("joint")
+    """Sharded-step equivalence, asserted on the FULL parameter tree after
+    >=5 optimizer steps (not just the scalar loss). Bit-exactness is not the
+    contract — psum reduces per-shard partial sums in a different order than
+    the single-device sum, an ulp-level f32 difference by construction — but
+    every parameter must agree to f32-tight tolerance (DESIGN.md §4)."""
+
+    @pytest.mark.parametrize("cadence", ["joint", "reference"])
+    def test_data_parallel_matches_single_device(self, cadence):
+        cfg1 = tiny_config(cadence)
         cfg8 = dataclasses.replace(cfg1, mesh=MeshConfig(data=8, model=1))
-        _, h1 = _run_steps(cfg1, 5)
-        _, h8 = _run_steps(cfg8, 5)
+        s1, h1 = _run_steps(cfg1, 5)
+        s8, h8 = _run_steps(cfg8, 5)
+        _assert_param_trees_close(s1.params, s8.params,
+                                  rtol=2e-4, atol=1e-6)
         for a, b in zip(h1, h8):
             assert a["loss"] == pytest.approx(b["loss"], rel=2e-3), (a, b)
 
-    def test_tensor_parallel_compiles_and_matches(self):
-        cfg1 = tiny_config("joint")
+    @pytest.mark.parametrize("cadence", ["joint", "reference"])
+    def test_tensor_parallel_matches_single_device(self, cadence):
+        cfg1 = tiny_config(cadence)
         cfg_tp = dataclasses.replace(cfg1, mesh=MeshConfig(data=4, model=2))
-        _, h1 = _run_steps(cfg1, 3)
-        _, htp = _run_steps(cfg_tp, 3)
+        s1, h1 = _run_steps(cfg1, 5)
+        stp, htp = _run_steps(cfg_tp, 5)
+        _assert_param_trees_close(s1.params, stp.params,
+                                  rtol=2e-4, atol=1e-6)
         for a, b in zip(h1, htp):
             assert a["loss"] == pytest.approx(b["loss"], rel=2e-3)
 
