@@ -33,10 +33,19 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     add_config_args(ap)
     ap.add_argument("--ckpt", default="", help="checkpoint dir (default: cfg)")
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to load (default: latest). "
+                         "Counterpart of the reference's any-step "
+                         "--model_weight_path loading (test.py:34).")
     ap.add_argument("--out", default="", help="output dir (default: ckpt/test)")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--depth", action="store_true", help="write depth viz")
     ap.add_argument("--normals", action="store_true", help="write normal viz")
+    ap.add_argument("--lpips", default="",
+                    help="path to lpips_vgg.npz (tools/export_lpips_weights"
+                         ".py). LPIPS requires pretrained VGG weights, which "
+                         "cannot be bundled in this egress-free build; "
+                         "without the file only PSNR/SSIM are reported.")
     args = ap.parse_args()
 
     # resolve the checkpoint dir first so its saved config.json (written by
@@ -49,14 +58,22 @@ def main():
 
     template = abstract_train_state(
         jax.random.PRNGKey(cfg.train.seed), cfg.model, cfg.train)
-    state = restore_checkpoint(ckpt_dir, template)
+    state = restore_checkpoint(ckpt_dir, template, step=args.step)
     print(f"restored step={int(state.step)} from {ckpt_dir}")
 
     ds = get_dataset(cfg.data, "test")
     from ..parallel.mesh import default_render_mesh
 
     mesh = default_render_mesh()  # data-parallel rendering across the mesh
-    psnrs, ssims = [], []
+    lpips_weights = None
+    if args.lpips:
+        from ..utils.lpips import load_weights
+
+        lpips_weights = load_weights(args.lpips)
+    else:
+        print("LPIPS: no --lpips weights file; reporting PSNR/SSIM only "
+              "(see tools/export_lpips_weights.py)")
+    psnrs, ssims, lpipss = [], [], []
     for i in range(ds.n_images):
         rays_np, pix = ds.image(i)
         rays = rays_to_device(rays_np)
@@ -85,12 +102,22 @@ def main():
             line = f"[{i + 1}/{ds.n_images}] PSNR={psnr:.2f}"
             if s is not None:
                 line += f" SSIM={s:.4f}"
+            if lpips_weights is not None:
+                from ..utils.lpips import lpips
+
+                lp = float(jax.device_get(
+                    lpips(rgb, target, lpips_weights)))
+                lpipss.append(lp)
+                line += f" LPIPS={lp:.4f}"
             print(line)
 
     if psnrs:
         print(f"mean PSNR over {len(psnrs)} views: {np.mean(psnrs):.3f}")
         if all(s is not None for s in ssims):
             print(f"mean SSIM over {len(ssims)} views: {np.mean(ssims):.4f}")
+        if lpipss:
+            print(f"mean LPIPS over {len(lpipss)} views: "
+                  f"{np.mean(lpipss):.4f}")
 
 
 if __name__ == "__main__":

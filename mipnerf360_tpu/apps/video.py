@@ -43,6 +43,10 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     add_config_args(ap)
     ap.add_argument("--ckpt", default="")
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to load (default: latest). "
+                         "Counterpart of the reference's any-step "
+                         "--model_weight_path loading (video.py:29).")
     ap.add_argument("--out", default="")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--depth", action="store_true")
@@ -59,7 +63,7 @@ def main():
 
     template = abstract_train_state(
         jax.random.PRNGKey(cfg.train.seed), cfg.model, cfg.train)
-    state = restore_checkpoint(ckpt_dir, template)
+    state = restore_checkpoint(ckpt_dir, template, step=args.step)
     print(f"restored step={int(state.step)} from {ckpt_dir}")
 
     ds = get_dataset(cfg.data, "render")

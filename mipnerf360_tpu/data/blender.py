@@ -35,6 +35,14 @@ def _downsample_half(img: np.ndarray) -> np.ndarray:
 
 def load_blender(cfg: DataConfig, split: str = "train",
                  white_bkgd: bool = True) -> RayDataset:
+    if split == "render":
+        # Synthesized camera path (reference dataset.py:75-89 via the base
+        # class; Blender ctor defaults radius=4, radii=1, h=w=800,
+        # dataset.py:176) — no images on disk are read.
+        from .render_split import render_path_dataset
+
+        return render_path_dataset(cfg)
+
     base = cfg.base_dir or os.path.join("data/nerf_synthetic", cfg.scene)
     with open(os.path.join(base, f"transforms_{split}.json")) as fp:
         meta = json.load(fp)

@@ -59,14 +59,27 @@ def _shade_sphere(origins, viewdirs, sphere_radius: float = 1.0):
 def synthetic_dataset(cfg: DataConfig, split: str = "train") -> RayDataset:
     res = cfg.synthetic_resolution
     n_views = cfg.synthetic_views
+    focal = 0.9 * res
+    if split == "render":
+        # Synthesized spherical orbit at the scene's own resolution/intrinsics
+        # (the procedural scene is a 360 orbit — the reference's spiral path
+        # is for forward-facing scenes). Uses the same path synthesis as the
+        # blender render split (data/pose.py, reference pose.py:34-77).
+        from .pose import spherical_path
+
+        poses = spherical_path(cfg.render_radius, n_views)[:, :3, :4]
+        rays = pinhole_rays(poses.astype(np.float32), res, res, focal,
+                            cfg.near, cfg.far)
+        flat_rays, _ = flatten_images(rays, None)
+        return RayDataset(rays=flat_rays, pixels=None, h=res, w=res,
+                          near=cfg.near, far=cfg.far, n_images=n_views)
     # train/test use different orbit phases so test views are held out
     n = n_views if split == "train" else max(2, n_views // 4)
     poses = _orbit_poses(n + (0 if split == "train" else 1))[
         (0 if split == "train" else 1):]
     poses = poses[:n]
-    focal = 0.9 * res
     rays = pinhole_rays(poses, res, res, focal, cfg.near, cfg.far)
-    images = None if split == "render" else _shade_sphere(rays.origins, rays.viewdirs)
+    images = _shade_sphere(rays.origins, rays.viewdirs)
     flat_rays, flat_pix = flatten_images(rays, images)
     return RayDataset(
         rays=flat_rays, pixels=flat_pix, h=res, w=res,

@@ -100,6 +100,46 @@ class TestBlenderLoader:
         ds = get_dataset(cfg, "train")
         assert ds.pixels.min() >= 0.0 and ds.pixels.max() <= 1.0
 
+    def test_render_split_spiral_path(self, blender_dir):
+        # Reference supports split="render" on blender scenes via the base
+        # class's synthesized path (dataset.py:75-89); no image files are
+        # read. Default path is spiral (Blender ctor spherify=False).
+        cfg = DataConfig(dataset="blender", base_dir=blender_dir,
+                         n_render_poses=5, render_h=8, render_w=8)
+        ds = get_dataset(cfg, "render")
+        assert ds.pixels is None
+        assert ds.n_images == 5
+        assert ds.h == ds.w == 8
+        assert ds.n_rays == 5 * 8 * 8
+        assert np.all(np.isfinite(ds.rays.origins))
+        dirs = ds.rays.viewdirs
+        np.testing.assert_allclose(np.linalg.norm(dirs, axis=-1), 1.0,
+                                   atol=1e-5)
+
+    def test_render_split_spherical_path(self, blender_dir):
+        cfg = DataConfig(dataset="blender", base_dir=blender_dir,
+                         n_render_poses=6, render_spherify=True,
+                         render_radius=4.0, render_h=8, render_w=8)
+        ds = get_dataset(cfg, "render")
+        assert ds.n_images == 6
+        # camera centers lie on the configured orbit radius
+        origins = ds.rays.origins.reshape(6, -1, 3)[:, 0]
+        np.testing.assert_allclose(np.linalg.norm(origins, axis=-1), 4.0,
+                                   rtol=1e-5)
+
+
+class TestSyntheticRenderSplit:
+    def test_spherical_orbit_at_scene_resolution(self):
+        cfg = DataConfig(dataset="synthetic", synthetic_resolution=8,
+                         synthetic_views=4, render_radius=4.0)
+        ds = get_dataset(cfg, "render")
+        assert ds.pixels is None
+        assert ds.n_images == 4
+        assert ds.h == ds.w == 8
+        origins = ds.rays.origins.reshape(4, -1, 3)[:, 0]
+        np.testing.assert_allclose(np.linalg.norm(origins, axis=-1), 4.0,
+                                   rtol=1e-5)
+
 
 class TestLLFFLoader:
     def test_train_test_split(self, llff_dir):
