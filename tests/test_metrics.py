@@ -69,3 +69,69 @@ def test_separable_filter_matches_outer_product():
         for j in range(13):
             want[i, j] = np.tensordot(win, img[i:i + 5, j:j + 5], axes=2)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+class TestLPIPS:
+    """LPIPS forward machinery (utils/lpips.py) with random_weights — real
+    scores need the pretrained npz (tools/export_lpips_weights.py), absent
+    in this egress-free environment by design."""
+
+    @pytest.fixture(scope="class")
+    def weights(self):
+        import jax
+
+        from mipnerf360_tpu.utils.lpips import random_weights
+
+        return random_weights(jax.random.PRNGKey(0))
+
+    def test_identity_is_zero(self, weights):
+        from mipnerf360_tpu.utils.lpips import lpips
+
+        rng = np.random.default_rng(0)
+        x = rng.random((32, 32, 3), np.float32)
+        assert float(lpips(x, x, weights)) < 1e-6
+
+    def test_symmetric_and_positive(self, weights):
+        from mipnerf360_tpu.utils.lpips import lpips
+
+        rng = np.random.default_rng(1)
+        x = rng.random((32, 32, 3), np.float32)
+        y = rng.random((32, 32, 3), np.float32)
+        dxy = float(lpips(x, y, weights))
+        dyx = float(lpips(y, x, weights))
+        assert dxy > 0
+        np.testing.assert_allclose(dxy, dyx, rtol=1e-5)
+
+    def test_noise_monotone(self, weights):
+        from mipnerf360_tpu.utils.lpips import lpips
+
+        rng = np.random.default_rng(2)
+        x = rng.random((32, 32, 3), np.float32)
+        n = rng.normal(size=x.shape).astype(np.float32)
+        d_small = float(lpips(x, np.clip(x + 0.05 * n, 0, 1), weights))
+        d_large = float(lpips(x, np.clip(x + 0.3 * n, 0, 1), weights))
+        assert d_large > d_small
+
+    def test_vgg_tap_shapes(self, weights):
+        import jax.numpy as jnp
+
+        from mipnerf360_tpu.utils.lpips import vgg16_features
+
+        taps = vgg16_features(jnp.zeros((1, 64, 64, 3)), weights)
+        shapes = [t.shape for t in taps]
+        assert shapes == [(1, 64, 64, 64), (1, 32, 32, 128),
+                          (1, 16, 16, 256), (1, 8, 8, 512), (1, 4, 4, 512)]
+
+    def test_npz_roundtrip(self, weights, tmp_path):
+        import numpy as onp
+
+        from mipnerf360_tpu.utils.lpips import load_weights, lpips
+
+        path = tmp_path / "w.npz"
+        onp.savez(path, **{k: onp.asarray(v) for k, v in weights.items()})
+        loaded = load_weights(str(path))
+        rng = np.random.default_rng(3)
+        x = rng.random((16, 16, 3), np.float32)
+        y = rng.random((16, 16, 3), np.float32)
+        np.testing.assert_allclose(float(lpips(x, y, weights)),
+                                   float(lpips(x, y, loaded)), rtol=1e-6)
