@@ -12,7 +12,6 @@ import jax
 from ..core import rendering, sampling
 from . import pallas_available
 from .pallas.composite import composite_weights as _pallas_composite
-from .pallas.resample import resample_tpu as _pallas_resample
 
 
 def _use(mode: str) -> bool:
@@ -40,14 +39,16 @@ def resample_along_rays(key, t_vals, weights, randomized: bool,
                         resample_padding: float, mode: str = "auto"):
     """Blur + inverse-CDF resampling (core/sampling.py:resample_along_rays).
 
-    The Pallas path is opt-in ("on") rather than "auto": its statically
-    unrolled interval sweep makes Mosaic compilation pathologically slow
-    (minutes for N=64), while XLA fuses the jnp broadcast-compare formulation
-    into the surrounding program well enough that the kernel is not a
-    measured win on hardware.
+    Always the jnp path — there is deliberately NO Pallas kernel here. A
+    round-1 kernel (statically unrolled interval sweep) compiled in minutes
+    under Mosaic and was never a measured win; the arithmetic says it cannot
+    be: at the flagship shape (B=4096, N=64) resampling moves ~0.2 MB/ray-
+    batch of useful data vs the nerf MLP's ~2.7 GFLOP — well under 1% of the
+    step on either the FLOP or the bandwidth roofline, and XLA already fuses
+    the broadcast-compare interval search into the surrounding program. The
+    ``mode`` arg is kept so call sites stay uniform with
+    compute_alpha_weights (the kernel that IS a win).
     """
-    if mode == "on" and weights.ndim == 2:
-        return _pallas_resample(key, t_vals, weights, randomized,
-                                resample_padding)
+    del mode
     return sampling.resample_along_rays(key, t_vals, weights, randomized,
                                         resample_padding)

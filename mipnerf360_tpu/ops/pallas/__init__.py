@@ -1,2 +1,1 @@
 from .composite import composite_weights
-from .resample import resample_tpu

@@ -13,7 +13,6 @@ from jax.experimental.pallas import tpu as pltpu
 from mipnerf360_tpu.core.rendering import compute_alpha_weights
 from mipnerf360_tpu.core.sampling import resample_along_rays
 from mipnerf360_tpu.ops.pallas.composite import composite_weights
-from mipnerf360_tpu.ops.pallas.resample import resample_tpu
 
 
 def _rays(b=300, n=64, seed=0):
@@ -59,33 +58,6 @@ def test_composite_padding_rows_dropped():
         w = composite_weights(density, t_vals, dirs)
     assert w.shape == (300, 64)
     assert bool(jnp.all(jnp.isfinite(w)))
-
-
-@pytest.mark.parametrize("randomized", [False, True])
-def test_resample_matches_core(randomized):
-    rng = np.random.default_rng(2)
-    b, n = 128, 64
-    t_vals = jnp.asarray(
-        np.sort(rng.uniform(0.1, 6.0, (b, n + 1)).astype(np.float32), axis=-1))
-    weights = jnp.asarray(rng.uniform(0.0, 1.0, (b, n)).astype(np.float32))
-    key = jax.random.PRNGKey(7)
-    with pltpu.force_tpu_interpret_mode():
-        t_pallas = resample_tpu(key, t_vals, weights, randomized, 0.01)
-    t_ref = resample_along_rays(key, t_vals, weights, randomized, 0.01)
-    np.testing.assert_allclose(t_pallas, t_ref, rtol=1e-5, atol=1e-5)
-
-
-def test_resample_sorted_and_in_range():
-    rng = np.random.default_rng(3)
-    b, n = 64, 64
-    t_vals = jnp.asarray(
-        np.sort(rng.uniform(0.5, 4.0, (b, n + 1)).astype(np.float32), axis=-1))
-    weights = jnp.asarray(rng.uniform(0.0, 1.0, (b, n)).astype(np.float32))
-    with pltpu.force_tpu_interpret_mode():
-        t = resample_tpu(jax.random.PRNGKey(0), t_vals, weights, True, 0.01)
-    assert bool(jnp.all(t[:, 1:] >= t[:, :-1]))
-    assert bool(jnp.all(t >= t_vals[:, :1]))
-    assert bool(jnp.all(t <= t_vals[:, -1:]))
 
 
 def test_model_paths_agree():
