@@ -47,22 +47,47 @@ P_BASIS = np.array(
     dtype=np.float32,
 )
 
-POS_ENC_DIM = 2 * P_BASIS.shape[0]  # 42
+POS_ENC_DIM = 2 * P_BASIS.shape[0]  # 42 (per scale)
 
 
-def integrated_pos_enc(mean, cov=None):
+def pos_enc_dim(min_deg: int = 0, max_deg: int = 1) -> int:
+    return POS_ENC_DIM * (max_deg - min_deg)
+
+
+def scale_ipe(gamma, sigma, min_deg: int, max_deg: int):
+    """Expand single-scale IPE phases/attenuations to 2^i frequency scales.
+
+    For basis rows scaled by 2^i: phase -> 2^i * gamma, attenuation
+    sigma -> 4^i * sigma. Returns [..., 42*(max_deg-min_deg)] features.
+    The reference uses exactly one scale (README.md:7 admits dropping the
+    paper's 2^k scaling); min_deg=0, max_deg=1 reproduces that. Higher
+    max_deg is the paper-faithful encoding and the main quality lever —
+    the reference's own README blames its non-convergence on this family
+    of simplifications.
+    """
+    outs = []
+    for i in range(min_deg, max_deg):
+        g = gamma * (2.0 ** i)
+        attn = jnp.exp(-0.5 * (4.0 ** i) * sigma)
+        outs.append(attn * jnp.sin(g))
+        outs.append(attn * jnp.cos(g))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def integrated_pos_enc(mean, cov=None, min_deg: int = 0, max_deg: int = 1):
     """IPE features from a (contracted) Gaussian.
 
     mean: [..., 3]; cov: [..., 3, 3] or None (plain PE).
-    Returns [..., 42]: exp(-sigma/2) * [sin(P mean), cos(P mean)].
+    Returns [..., 42*(max_deg-min_deg)]:
+    exp(-4^i sigma/2) * [sin(2^i P mean), cos(2^i P mean)] over scales i.
     """
     p = jnp.asarray(P_BASIS, dtype=mean.dtype)
     gamma = jnp.einsum("kd,...d->...k", p, mean)
     if cov is None:
-        return jnp.concatenate([jnp.sin(gamma), jnp.cos(gamma)], axis=-1)
-    sigma = jnp.einsum("ka,...ab,kb->...k", p, cov, p)
-    attn = jnp.exp(-0.5 * sigma)
-    return jnp.concatenate([attn * jnp.sin(gamma), attn * jnp.cos(gamma)], axis=-1)
+        sigma = jnp.zeros_like(gamma)
+    else:
+        sigma = jnp.einsum("ka,...ab,kb->...k", p, cov, p)
+    return scale_ipe(gamma, sigma, min_deg, max_deg)
 
 
 def viewdir_enc(viewdirs, min_deg: int = 0, max_deg: int = 4):
@@ -74,7 +99,14 @@ def viewdir_enc(viewdirs, min_deg: int = 0, max_deg: int = 4):
     y = viewdirs[..., 1:2]
     z = viewdirs[..., 2:3]
     theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
-    phi = jnp.arctan(y / (x + 1e-6))
+    # Reference quirk kept for parity (encoding.py:77): arctan (not arctan2),
+    # so azimuth folds into (-pi/2, pi/2) and the +1e-6 shifts the pole. The
+    # lone hardening: at x == -1e-6 exactly, y/(x+1e-6) is 0/0 -> NaN for
+    # y == 0; substituting a tiny denominator preserves the arctan limit
+    # (±pi/2 for y != 0, 0 for y == 0) without changing any other value.
+    denom = x + 1e-6
+    safe = jnp.where(denom == 0.0, jnp.finfo(viewdirs.dtype).tiny, denom)
+    phi = jnp.arctan(y / safe)
     scales = jnp.asarray([2.0**i for i in range(min_deg, max_deg)], dtype=viewdirs.dtype)
     theta_s = theta * scales
     phi_s = phi * scales

@@ -37,12 +37,13 @@ from .gaussians import conical_frustum_to_gaussian, cylinder_to_gaussian
 
 
 def factored_ipe(t_vals, origins, directions, radii, ray_shape: str = "cone",
-                 stable: bool = True):
-    """IPE features straight from ray intervals. Returns [..., N, 42].
+                 stable: bool = True, min_deg: int = 0, max_deg: int = 1):
+    """IPE features straight from ray intervals.
+    Returns [..., N, 42*(max_deg-min_deg)].
 
     Equivalent to
         means, covs = cast_rays(t_vals, origins, directions, radii, ray_shape)
-        feats = integrated_pos_enc(means, covs)
+        feats = integrated_pos_enc(means, covs, min_deg, max_deg)
     without forming ``covs`` (or any other [..., 3, 3] tensor).
     """
     t0, t1 = t_vals[..., :-1], t_vals[..., 1:]
@@ -96,6 +97,6 @@ def factored_ipe(t_vals, origins, directions, radii, ray_shape: str = "cone",
     scale = jnp.where(inside, 1.0, (2.0 - 1.0 / n) / n)
     gamma_phase = scale[..., None] * p_mu
 
-    attn = jnp.exp(-0.5 * sigma)
-    return jnp.concatenate(
-        [attn * jnp.sin(gamma_phase), attn * jnp.cos(gamma_phase)], axis=-1)
+    from .encoding import scale_ipe
+
+    return scale_ipe(gamma_phase, sigma, min_deg, max_deg)

@@ -75,11 +75,14 @@ def _encode(cfg: ModelConfig, rays: Rays, t_vals):
     """Cast intervals to contracted Gaussians and build MLP input features."""
     if cfg.factored_encode:
         pos = factored_ipe(t_vals, rays.origins, rays.directions, rays.radii,
-                           ray_shape=cfg.ray_shape)             # [B, N, 42]
+                           ray_shape=cfg.ray_shape,
+                           min_deg=cfg.ipe_min_deg,
+                           max_deg=cfg.ipe_max_deg)     # [B, N, 42*scales]
     else:
         means, covs = cast_rays(t_vals, rays.origins, rays.directions,
                                 rays.radii, ray_shape=cfg.ray_shape)
-        pos = integrated_pos_enc(means, covs)                   # [B, N, 42]
+        pos = integrated_pos_enc(means, covs, cfg.ipe_min_deg,
+                                 cfg.ipe_max_deg)       # [B, N, 42*scales]
     view = viewdir_enc(rays.viewdirs, cfg.viewdir_min_deg, cfg.viewdir_max_deg)
     view = jnp.broadcast_to(view[..., None, :], pos.shape[:-1] + (view.shape[-1],))
     return jnp.concatenate([pos, view], axis=-1)

