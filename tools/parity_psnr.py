@@ -29,8 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
 
-def export_blender_scene(out_dir: str, res: int, n_train: int = 12,
-                         n_test: int = 3):
+def export_blender_scene(out_dir: str, res: int, n_train: int = 28,
+                         n_test: int = 4):
     from PIL import Image
 
     from mipnerf360_tpu.data.rays_gen import pinhole_rays
@@ -38,8 +38,17 @@ def export_blender_scene(out_dir: str, res: int, n_train: int = 12,
 
     focal = 0.9 * res
     angle_x = 2.0 * np.arctan(0.5 * res / focal)
-    all_poses = _orbit_poses(n_train + n_test)
-    splits = {"train": all_poses[:n_train], "test": all_poses[n_train:]}
+    n_total = n_train + n_test
+    all_poses = _orbit_poses(n_total)
+    # Interleaved holdout (every n_total/n_test-th view), matching the
+    # reference's every-8th LLFF convention (dataset.py:271-283). A
+    # contiguous tail split would hold out azimuths training never sees,
+    # making eval measure extrapolation instead of view synthesis.
+    test_idx = set(np.linspace(0, n_total, n_test,
+                               endpoint=False).astype(int).tolist())
+    train_idx = [i for i in range(n_total) if i not in test_idx]
+    splits = {"train": all_poses[train_idx],
+              "test": all_poses[sorted(test_idx)]}
     for split, poses in splits.items():
         os.makedirs(os.path.join(out_dir, split), exist_ok=True)
         rays = pinhole_rays(poses, res, res, focal, 2.0, 6.0)
@@ -75,7 +84,7 @@ def run_reference(scene_dir: str, steps: int, workdir: str):
          "--device", "cpu", "--max_steps", str(steps),
          "--save_every", str(10 * steps),  # effectively disable torch.save
          "--log_dir", log_dir],
-        cwd=workdir, capture_output=True, text=True, timeout=7200)
+        cwd=workdir, capture_output=True, text=True, timeout=6 * 3600)
     wall = time.time() - t0
     out = proc.stdout + proc.stderr
     if proc.returncode != 0:
@@ -88,14 +97,28 @@ def run_reference(scene_dir: str, steps: int, workdir: str):
     return train_psnr, eval_psnr, wall
 
 
-def run_ours(scene_dir: str, steps: int, ckpt_dir: str):
+def run_ours(scene_dir: str, steps: int, ckpt_dir: str, *,
+             cadence: str = "reference", batch_size: int = 64,
+             eval_image_every: int = 0, quality: bool = False):
     from mipnerf360_tpu.config import get_config
     from mipnerf360_tpu.train.trainer import train
 
+    # quality=True disables the reference's convergence-capping quirks (all
+    # config-gated, kept on for parity runs): the density-head sigmoid caps
+    # density at softplus(1-1)=0.69 so surfaces can never go opaque (min
+    # transmittance along a [2,6] ray ~ e^-2.8), the trunk-final sigmoid
+    # squashes features, and the single-scale IPE (README.md:7) caps spatial
+    # frequency. These are the bugs behind the reference README.md:9's own
+    # "PSNR does not converge" admission.
+    model = dict(white_bkgd=True)
+    if quality:
+        model.update(density_head_sigmoid=False, trunk_final_sigmoid=False,
+                     ipe_max_deg=5)
     cfg = get_config(
-        model=dict(white_bkgd=True),
-        train=dict(max_steps=steps, batch_size=64, cadence="reference",
+        model=model,
+        train=dict(max_steps=steps, batch_size=batch_size, cadence=cadence,
                    log_every=10, eval_every=10, save_every=0,
+                   eval_image_every=eval_image_every,
                    checkpoint_dir=ckpt_dir),
         data=dict(dataset="blender", base_dir=scene_dir, factor=1,
                   near=2.0, far=6.0),
@@ -104,6 +127,7 @@ def run_ours(scene_dir: str, steps: int, ckpt_dir: str):
     train(cfg)
     wall = time.time() - t0
     train_psnr, eval_psnr = {}, {}
+    image_psnr, image_ssim = {}, {}
     with open(os.path.join(ckpt_dir, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
@@ -111,45 +135,131 @@ def run_ours(scene_dir: str, steps: int, ckpt_dir: str):
                 train_psnr[rec["step"]] = rec["train/avg_psnr"]
             if "eval/psnr" in rec:
                 eval_psnr[rec["step"]] = rec["eval/psnr"]
-    return train_psnr, eval_psnr, wall
+            if "eval/psnr_image" in rec:
+                image_psnr[rec["step"]] = rec["eval/psnr_image"]
+            if "eval/ssim" in rec:
+                image_ssim[rec["step"]] = rec["eval/ssim"]
+    return {"train_psnr": train_psnr, "eval_psnr": eval_psnr,
+            "image_psnr": image_psnr, "image_ssim": image_ssim,
+            "wall_s": round(wall, 1)}
+
+
+def _merge_into_parity_json(key: str, value):
+    """Read-modify-write PARITY_PSNR.json so the parity-comparison and
+    convergence runs (separate processes) can each contribute their section."""
+    path = os.path.join(REPO, "PARITY_PSNR.json")
+    result = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            try:
+                result = json.load(f)
+            except json.JSONDecodeError:
+                result = {}
+    result[key] = value
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=150)
-    ap.add_argument("--res", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--scene-dir", default="/tmp/parity_scene")
     ap.add_argument("--workdir", default="/tmp/parity_ref")
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--batch", type=int, default=4096,
+                    help="convergence-mode ray batch (flagship operating "
+                         "point; parity mode always uses the reference's 64)")
+    ap.add_argument("--mode", choices=["parity", "convergence", "ref-only"],
+                    default="parity",
+                    help="parity: equal-iteration reference comparison "
+                         "(reference cadence, batch 64, both frameworks). "
+                         "convergence: ours only at the flagship operating "
+                         "point (joint cadence, batch 1024, full-image eval "
+                         "trajectory) — VERDICT.md round-1 item 1. "
+                         "ref-only: run just the PyTorch reference (hours on "
+                         "CPU) and cache its trajectories to "
+                         "<workdir>/ref_result.json; a later parity run "
+                         "reuses the cache instead of re-training.")
     args = ap.parse_args()
 
     export_blender_scene(args.scene_dir, args.res)
     print(f"exported scene to {args.scene_dir}", flush=True)
 
-    ours_train, ours_eval, ours_wall = run_ours(
-        args.scene_dir, args.steps, os.path.join(args.workdir, "ours_ckpt"))
-    print(f"ours done in {ours_wall:.1f}s", flush=True)
+    ref_cache = os.path.join(args.workdir, "ref_result.json")
+    if args.mode == "ref-only":
+        ref_train, ref_eval, ref_wall = run_reference(
+            args.scene_dir, args.steps, args.workdir)
+        with open(ref_cache, "w") as f:
+            json.dump({"steps": args.steps, "res": args.res,
+                       "train_psnr": ref_train, "eval_psnr": ref_eval,
+                       "wall_s": round(ref_wall, 1)}, f, indent=2)
+        print(f"reference done in {ref_wall:.1f}s -> {ref_cache}")
+        return
+
+    if args.mode == "convergence":
+        ours = run_ours(args.scene_dir, args.steps,
+                        os.path.join(args.workdir, "ours_ckpt_conv"),
+                        cadence="joint", batch_size=args.batch,
+                        eval_image_every=max(10, args.steps // 100),
+                        quality=True)
+        ours["cadence"] = (f"joint, batch {args.batch}, quality config "
+                           "(no density/trunk sigmoid quirks, ipe_max_deg 5)")
+        section = {
+            "steps": args.steps,
+            "scene": {"res": args.res, "train_views": 28, "test_views": 4, "holdout": "interleaved every-8th"},
+            "note": ("Convergence proof at the 10k-iter operating point "
+                     "(demo/demo_360.sh:6-8): eval image_psnr/image_ssim are "
+                     "full held-out-view renders (trainer eval_image_every), "
+                     "eval_psnr is the 64-ray batch eval kept for cadence "
+                     "parity with reference train.py:106-116."),
+            "ours": ours,
+        }
+        imgs = ours["image_psnr"]
+        if imgs:
+            section["summary"] = {
+                "final_image_psnr": imgs[max(imgs)],
+                "max_image_psnr": max(imgs.values()),
+                "final_image_ssim": (ours["image_ssim"][max(ours["image_ssim"])]
+                                     if ours["image_ssim"] else None),
+            }
+        _merge_into_parity_json("convergence", section)
+        print(json.dumps(section.get("summary", {}), indent=2))
+        return
+
+    ours = run_ours(args.scene_dir, args.steps,
+                    os.path.join(args.workdir, "ours_ckpt"),
+                    eval_image_every=max(10, args.steps // 20))
+    ours["cadence"] = "reference (2 prop + 1 nerf updates/step, batch 64)"
+    print(f"ours done in {ours['wall_s']:.1f}s", flush=True)
 
     result = {
         "steps": args.steps,
-        "scene": {"res": args.res, "train_views": 12, "test_views": 3},
+        "scene": {"res": args.res, "train_views": 28, "test_views": 4, "holdout": "interleaved every-8th"},
         "note": ("train_psnr is the instantaneous per-step batch PSNR on "
                  "both sides (the reference's 'avg_psnr' print is np.mean of "
                  "a single step's scalar, train.py:84-88); eval_psnr is one "
                  "64-ray holdout batch, matching eval_model "
                  "(train.py:106-116). Wall-clock here is NOT a throughput "
                  "benchmark (batch 64, reference cadence); see bench.py."),
-        "ours": {
-            "train_psnr": ours_train,
-            "eval_psnr": ours_eval,
-            "wall_s": round(ours_wall, 1),
-            "cadence": "reference (2 prop + 1 nerf updates/step, batch 64)",
-        },
+        "ours": ours,
     }
     if not args.skip_ref:
-        ref_train, ref_eval, ref_wall = run_reference(
-            args.scene_dir, args.steps, args.workdir)
-        print(f"reference done in {ref_wall:.1f}s", flush=True)
+        cached = None
+        if os.path.exists(ref_cache):
+            with open(ref_cache) as f:
+                cached = json.load(f)
+            if cached.get("steps") != args.steps or cached.get("res") != args.res:
+                cached = None
+        if cached is not None:
+            ref_train = {int(k): v for k, v in cached["train_psnr"].items()}
+            ref_eval = {int(k): v for k, v in cached["eval_psnr"].items()}
+            ref_wall = cached["wall_s"]
+            print(f"reference loaded from cache {ref_cache}", flush=True)
+        else:
+            ref_train, ref_eval, ref_wall = run_reference(
+                args.scene_dir, args.steps, args.workdir)
+            print(f"reference done in {ref_wall:.1f}s", flush=True)
         result["reference"] = {
             "train_psnr": ref_train,
             "eval_psnr": ref_eval,
@@ -160,15 +270,25 @@ def main():
         def last(d):
             return d[max(d)] if d else None
 
+        # per-shared-checkpoint comparison: smoothed eval PSNR at each step
+        # both sides logged (the acceptance is "ours >= reference at every
+        # shared checkpoint", VERDICT.md item 1)
+        shared = sorted(set(ours["eval_psnr"]) & set(ref_eval))
         result["summary"] = {
-            "final_train_psnr": {"ours": last(ours_train),
+            "final_train_psnr": {"ours": last(ours["train_psnr"]),
                                  "reference": last(ref_train)},
-            "final_eval_psnr": {"ours": last(ours_eval),
+            "final_eval_psnr": {"ours": last(ours["eval_psnr"]),
                                 "reference": last(ref_eval)},
+            "final_image_psnr_ours": last(ours["image_psnr"]),
+            "shared_eval_checkpoints": len(shared),
+            "ours_ge_ref_at_checkpoint_frac": (
+                round(float(np.mean([ours["eval_psnr"][s] >= ref_eval[s]
+                                     for s in shared])), 4)
+                if shared else None),
         }
-    with open(os.path.join(REPO, "PARITY_PSNR.json"), "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result.get("summary", result["ours"]), indent=2))
+    _merge_into_parity_json("parity", result)
+    print(json.dumps(result.get("summary", {"ours": ours["wall_s"]}),
+                     indent=2))
 
 
 if __name__ == "__main__":
