@@ -23,7 +23,13 @@ def compute_alpha_weights(density, t_vals, dirs):
     delta = t_dists * jnp.linalg.norm(dirs[..., None, :], axis=-1)
     density_delta = density * delta
 
-    alpha = 1.0 - jnp.exp(-density_delta)
+    # -expm1, not 1-exp: the latter underflows to exactly 0 (killing all
+    # gradients through alpha) already at density*delta ~ 3e-8, i.e. raw
+    # density ~ -16 — reachable within a few optimizer steps when a mostly-
+    # background batch pushes density down. expm1 keeps alpha (and its
+    # cotangent) alive down to f32 denormals, so a collapsed model can
+    # recover instead of dying permanently.
+    alpha = -jnp.expm1(-density_delta)
     trans = jnp.exp(-jnp.concatenate(
         [jnp.zeros_like(density_delta[..., :1]),
          jnp.cumsum(density_delta[..., :-1], axis=-1)], axis=-1))

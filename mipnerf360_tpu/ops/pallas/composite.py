@@ -32,6 +32,17 @@ from .common import cumsum_lanes
 _TILE = 256  # rays per grid step
 
 
+def _one_minus_exp_neg(dd):
+    """Accurate 1 - exp(-dd) for dd >= 0 (Mosaic has no expm1 primitive).
+
+    1-exp underflows to exactly 0 at dd ~ 3e-8 (see core/rendering.py note);
+    below the switch point a 3-term Taylor series is f32-exact and keeps the
+    value (and the gradient path through it) alive down to denormals.
+    """
+    taylor = dd * (1.0 - dd * 0.5 * (1.0 - dd * (1.0 / 3.0)))
+    return jnp.where(dd < 1e-2, taylor, 1.0 - jnp.exp(-dd))
+
+
 def _fwd_kernel(density_ref, t_ref, dnorm_ref, w_ref, trans_ref):
     density = density_ref[:]                       # [TILE, N]
     t = t_ref[:]                                   # [TILE, N+1]
@@ -40,7 +51,7 @@ def _fwd_kernel(density_ref, t_ref, dnorm_ref, w_ref, trans_ref):
     dd = density * delta
     csum = cumsum_lanes(dd)
     trans = jnp.exp(-(csum - dd))                  # exclusive prefix: T_i
-    alpha = 1.0 - jnp.exp(-dd)
+    alpha = _one_minus_exp_neg(dd)
     w_ref[:] = alpha * trans
     trans_ref[:] = trans
 
@@ -54,12 +65,12 @@ def _bwd_kernel(density_ref, t_ref, dnorm_ref, g_ref, out_ref):
     dd = density * delta
     csum = cumsum_lanes(dd)
     trans = jnp.exp(-(csum - dd))
-    alpha = 1.0 - jnp.exp(-dd)
+    alpha = _one_minus_exp_neg(dd)
     w = alpha * trans
     gw = g * w
     # suffix sum over i > j: total - inclusive prefix
     suffix = jnp.sum(gw, axis=-1, keepdims=True) - cumsum_lanes(gw)
-    d_dd = g * (1.0 - alpha) * trans - suffix
+    d_dd = g * jnp.exp(-dd) * trans - suffix
     out_ref[:] = d_dd * delta
 
 

@@ -34,7 +34,7 @@ def test_sigterm_flushes_checkpoint(tmp_path):
     try:
         # Wait until training has made progress (metrics file appears).
         metrics = os.path.join(ckpt, "metrics.jsonl")
-        deadline = time.time() + 240  # generous: CPU compile under load
+        deadline = time.time() + 900  # generous: CPU compile on a contended host
         while time.time() < deadline:
             if os.path.exists(metrics) and os.path.getsize(metrics) > 0:
                 break
