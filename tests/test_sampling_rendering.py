@@ -172,3 +172,34 @@ class TestVolumetricRendering:
         _, _, acc1, _ = volumetric_rendering(rgb, density, t_vals, dirs, False)
         _, _, acc2, _ = volumetric_rendering(rgb, density, t_vals, dirs * 2.0, False)
         assert float(acc2[0]) > float(acc1[0])
+
+    def test_tiny_density_keeps_alpha_and_gradients_alive(self):
+        # Regression: 1-exp(-dd) underflows to exact 0 at dd ~ 3e-8 (raw
+        # density ~ -16), permanently zeroing gradients through alpha. The
+        # expm1 form keeps both alive down to denormals so a collapsed model
+        # can recover (core/rendering.py).
+        from mipnerf360_tpu.core.rendering import compute_alpha_weights
+
+        rgb, _, t_vals, dirs = self._setup(0.0)
+        for sigma in [1e-8, 1e-20, 1e-30]:
+            density = jnp.full((4, 16), sigma)
+            w, _ = compute_alpha_weights(density, t_vals, dirs)
+            assert float(jnp.min(w)) > 0.0, f"weights dead at sigma={sigma}"
+
+            def acc_of(d):
+                ww, _ = compute_alpha_weights(d, t_vals, dirs)
+                return jnp.sum(ww)
+
+            g = jax.grad(acc_of)(density)
+            assert float(jnp.min(jnp.abs(g))) > 0.0, f"grads dead at {sigma}"
+
+    def test_pallas_composite_matches_jnp_at_tiny_density(self):
+        # The Pallas kernel's manual Taylor-branch 1-exp(-dd) (Mosaic has no
+        # expm1) must agree with the jnp path in relative terms at densities
+        # where the naive form underflows. Interpret mode runs on CPU.
+        from mipnerf360_tpu.ops.pallas.composite import _one_minus_exp_neg
+
+        dd = jnp.array([1e-30, 1e-12, 1e-8, 1e-4, 5e-3, 1e-2, 0.5, 5.0])
+        got = _one_minus_exp_neg(dd)
+        want = -jnp.expm1(-dd)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
