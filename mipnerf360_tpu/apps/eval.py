@@ -33,9 +33,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     add_config_args(ap)
     ap.add_argument("--ckpt", default="", help="checkpoint dir (default: cfg)")
-    ap.add_argument("--step", type=int, default=None,
-                    help="checkpoint step to load (default: latest). "
-                         "Counterpart of the reference's any-step "
+    ap.add_argument("--step", default=None,
+                    type=lambda s: int(s) if s.isdigit() else s,
+                    help="checkpoint step to load (default: latest), or "
+                         "'best' for the best-eval checkpoint kept by the "
+                         "trainer. Counterpart of the reference's any-step "
                          "--model_weight_path loading (test.py:34).")
     ap.add_argument("--out", default="", help="output dir (default: ckpt/test)")
     ap.add_argument("--chunk", type=int, default=8192)

@@ -43,9 +43,10 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     add_config_args(ap)
     ap.add_argument("--ckpt", default="")
-    ap.add_argument("--step", type=int, default=None,
-                    help="checkpoint step to load (default: latest). "
-                         "Counterpart of the reference's any-step "
+    ap.add_argument("--step", default=None,
+                    type=lambda s: int(s) if s.isdigit() else s,
+                    help="checkpoint step to load (default: latest), or "
+                         "'best'. Counterpart of the reference's any-step "
                          "--model_weight_path loading (video.py:29).")
     ap.add_argument("--out", default="")
     ap.add_argument("--chunk", type=int, default=8192)

@@ -89,13 +89,21 @@ class TrainConfig:
     seed: int = 0
     save_every: int = 1000
     eval_every: int = 100
-    # Full held-out-image eval during training: render one test view every
-    # N steps (cycling through the test split) and log eval/psnr_image +
-    # eval/ssim. 0 = off. This goes beyond the reference, whose in-training
+    # Full held-out-image eval during training: every N steps render test
+    # views and log eval/psnr_image + eval/ssim (MEAN over the rendered
+    # views). 0 = off. This goes beyond the reference, whose in-training
     # eval is a single random 64-ray batch (train.py:106-116) — kept as
     # eval_every for cadence parity.
     eval_image_every: int = 0
+    # How many test views per eval-image boundary: -1 = ALL views (the
+    # claim-grade mean); k >= 1 = a FIXED window of the first k views
+    # (cheaper for large test splits; fixed so the mean stays comparable
+    # across boundaries).
+    eval_image_views: int = -1
     eval_image_chunk: int = 8192
+    # Retain the best-mean-eval checkpoint as ckpt_best.msgpack (never
+    # pruned) whenever eval/psnr_image improves; restore with step="best".
+    keep_best: bool = True
     log_every: int = 20
     checkpoint_dir: str = "ckpt"
     keep_checkpoints: int = 3
@@ -174,6 +182,23 @@ def _replace(cfg: Config, **groups) -> Config:
     return out
 
 
+# --- Quality overrides (the proven-converging operating point) ------------
+#
+# The parity-default ModelConfig reproduces the reference's quirks, and the
+# reference's own README admits that family does not converge (README.md:9).
+# Measured root causes (tools/parity_psnr.py, PARITY_PSNR.json "convergence"):
+# the density-head sigmoid caps density at softplus(sigmoid(x)+bias) <= 0.69
+# so surfaces can never go opaque; the trunk-final sigmoid squashes features;
+# single-scale IPE caps spatial frequency. The quality overrides disable all
+# three quirks and restore the paper-faithful model; with a LINEAR density
+# head, training must then start from low density (density_bias=-5) with a
+# strong warmup (lr_delay_mult=0.01, multinerf's value) or a mostly-background
+# first batch drives alpha to underflow and the model goes dead.
+QUALITY_MODEL = dict(density_head_sigmoid=False, trunk_final_sigmoid=False,
+                     ipe_max_deg=5, density_bias=-5.0)
+QUALITY_TRAIN = dict(lr_delay_mult=0.01)
+
+
 # --- Named presets (BASELINE.json "configs") ------------------------------
 
 def tiny_lego() -> Config:
@@ -232,11 +257,48 @@ def bicycle_multihost() -> Config:
     )
 
 
+def garden_quality() -> Config:
+    """nerf_360 garden at the paper-faithful (converging) operating point.
+
+    Same scene/schedule as ``garden`` but with the QUALITY_MODEL/QUALITY_TRAIN
+    overrides — the configuration PARITY_PSNR.json "convergence" proves
+    converges (the parity presets deliberately reproduce the reference's
+    quirks, including its README.md:9 non-convergence)."""
+    cfg = garden()
+    cfg = dataclasses.replace(cfg, preset="garden_quality")
+    # eval_image_every + keep_best so `apps.eval --step best` (demo_360.sh)
+    # has a best-eval checkpoint; 4 fixed views bounds the eval cost on the
+    # real scene's large test split.
+    return _replace(cfg, model=dict(QUALITY_MODEL, white_bkgd=False),
+                    train=dict(QUALITY_TRAIN, batch_size=4096,
+                               eval_image_every=1000, eval_image_views=4))
+
+
+def synthetic_quality() -> Config:
+    """Dataset-free convergence demo: quality model on the procedural scene.
+
+    The flagship operating point of PARITY_PSNR.json "convergence" (joint
+    cadence, batch 4096, 10k steps) on the built-in analytic sphere scene —
+    runs with no data on disk and reaches ~27-29 dB held-out image PSNR."""
+    cfg = Config(preset="synthetic_quality")
+    return _replace(
+        cfg,
+        model=dict(QUALITY_MODEL, white_bkgd=True),
+        train=dict(QUALITY_TRAIN, max_steps=10_000, batch_size=4096,
+                   cadence="joint", save_every=1000, eval_every=100,
+                   eval_image_every=100, log_every=20),
+        data=dict(dataset="synthetic", synthetic_resolution=64,
+                  synthetic_views=28, near=2.0, far=6.0),
+    )
+
+
 PRESETS = {
     "tiny_lego": tiny_lego,
     "blender_lego": blender_lego,
     "llff_fern": llff_fern,
     "garden": garden,
+    "garden_quality": garden_quality,
+    "synthetic_quality": synthetic_quality,
     "bicycle_multihost": bicycle_multihost,
 }
 

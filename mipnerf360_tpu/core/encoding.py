@@ -4,11 +4,13 @@ TPU-native counterpart of /root/reference/intern/encoding.py.
 
 The position encoder projects contracted means through the fixed 21-row basis
 of icosahedral directions from the Mip-NeRF 360 paper (encoding.py:9-30) and
-attenuates by exp(-sigma/2) where sigma_k = p_k^T Sigma p_k. Following the
-reference (README.md:7), there is no 2^k frequency scaling of P. Output is 42
-features per sample. The view-direction encoder maps (theta, phi) angles
-through 2^i scales, i in [min_deg, max_deg) (encoding.py:63-90), 16 features
-for the default [0, 4).
+attenuates by exp(-sigma/2) where sigma_k = p_k^T Sigma p_k. The paper's 2^i
+frequency scaling of P is applied for i in [ipe_min_deg, ipe_max_deg)
+(``scale_ipe`` below) — 42 features per scale. The parity default is a single
+scale [0, 1), matching the reference, which drops the scaling entirely
+(README.md:7); the quality presets use max_deg=5 (210 features). The
+view-direction encoder maps (theta, phi) angles through 2^i scales, i in
+[min_deg, max_deg) (encoding.py:63-90), 16 features for the default [0, 4).
 
 All ops are batched einsums/elementwise — XLA fuses the projection into the
 first MLP matmul's producer chain.

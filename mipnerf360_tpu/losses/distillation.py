@@ -4,8 +4,9 @@ TPU-native counterpart of /root/reference/intern/distillation.py. The
 reference computes the overlap bound with a Python loop whose boolean-mask
 indexing collapses the batch dimension (each bound becomes a batch-global
 scalar — verified quirk, SURVEY.md C13). Here the bound is computed *per ray*
-with one broadcast overlap mask and an einsum, which is both the intended
-semantics and a single fused device op.
+— the intended semantics — via a banded prefix-sum + binary-search form
+(sorted grids make each overlap run contiguous), with the broadcast
+overlap-mask einsum kept as the independent oracle (weight_bounds_einsum).
 
 Direction follows the reference (README.md:7, distillation.py:4-8): the bound
 is computed FROM the NeRF level's weights, and the hinge penalizes proposal
@@ -17,11 +18,12 @@ import jax
 import jax.numpy as jnp
 
 
-def weight_bounds(t_fine, w_fine, t_coarse):
-    """For each coarse interval, sum the fine weights of overlapping intervals.
+def weight_bounds_einsum(t_fine, w_fine, t_coarse):
+    """O(Nc*Nf) overlap-mask oracle for ``weight_bounds``.
 
-    t_fine: [..., Nf+1]; w_fine: [..., Nf]; t_coarse: [..., Nc+1].
-    Returns bounds [..., Nc] (stop-gradient applied).
+    Materializes the full [..., Nc, Nf] overlap tensor (64 MiB of bool at
+    B=4096, N=64 — the largest transient in the step, growing quadratically
+    in N). Kept as the independent oracle for the banded production path.
     """
     t0 = t_fine[..., :-1]   # [..., Nf]
     t1 = t_fine[..., 1:]
@@ -31,6 +33,41 @@ def weight_bounds(t_fine, w_fine, t_coarse):
     overlap = ~((t0[..., None, :] > hi[..., :, None]) |
                 (t1[..., None, :] < lo[..., :, None]))
     bounds = jnp.einsum("...ij,...j->...i", overlap.astype(w_fine.dtype), w_fine)
+    return jax.lax.stop_gradient(bounds)
+
+
+def _searchsorted(a, v, side: str):
+    """Batched searchsorted: a [..., Na] (each row sorted), v [..., Nv]."""
+    a2 = a.reshape(-1, a.shape[-1])
+    v2 = v.reshape(-1, v.shape[-1])
+    out = jax.vmap(lambda aa, vv: jnp.searchsorted(aa, vv, side=side))(a2, v2)
+    return out.reshape(v.shape)
+
+
+def weight_bounds(t_fine, w_fine, t_coarse):
+    """For each coarse interval, sum the fine weights of overlapping intervals.
+
+    t_fine: [..., Nf+1]; w_fine: [..., Nf]; t_coarse: [..., Nc+1].
+    Returns bounds [..., Nc] (stop-gradient applied).
+
+    Both grids are sorted per ray, so the fine intervals overlapping a coarse
+    interval form a contiguous run: with prefix sums S of w_fine,
+    bound_i = S[jhi_i] - S[jlo_i] where jlo_i is the first fine interval whose
+    upper edge reaches lo_i and jhi_i counts those whose lower edge is at most
+    hi_i (touching counts, matching the oracle's ``~(> | <)`` mask). Two
+    binary searches per coarse edge — O(Nc log Nf), no [.., Nc, Nf] tensor.
+    """
+    t0 = t_fine[..., :-1]   # [..., Nf] (sorted)
+    t1 = t_fine[..., 1:]    # [..., Nf] (sorted)
+    lo = t_coarse[..., :-1]  # [..., Nc]
+    hi = t_coarse[..., 1:]
+    prefix = jnp.concatenate(
+        [jnp.zeros_like(w_fine[..., :1]), jnp.cumsum(w_fine, axis=-1)], -1)
+    jlo = _searchsorted(t1, lo, side="left")    # first j with t1[j] >= lo_i
+    jhi = _searchsorted(t0, hi, side="right")   # count of j with t0[j] <= hi_i
+    jhi = jnp.maximum(jhi, jlo)                 # empty run -> bound 0
+    bounds = (jnp.take_along_axis(prefix, jhi, axis=-1)
+              - jnp.take_along_axis(prefix, jlo, axis=-1))
     return jax.lax.stop_gradient(bounds)
 
 

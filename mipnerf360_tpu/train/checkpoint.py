@@ -51,10 +51,12 @@ class AsyncCheckpointer:
             return jnp.copy(x)
         return x
 
-    def save(self, ckpt_dir: str, state: TrainState, keep: int = 3):
+    def save(self, ckpt_dir: str, state: TrainState, keep: int = 3,
+             name: Optional[str] = None, manifest_extra: Optional[dict] = None):
         snap = jax.tree_util.tree_map(self._snapshot, state)
         self.wait()
-        self._pending = self._pool.submit(save_checkpoint, ckpt_dir, snap, keep)
+        self._pending = self._pool.submit(
+            save_checkpoint, ckpt_dir, snap, keep, name, manifest_extra)
 
     def wait(self):
         """Drain the in-flight write (re-raises its exception, if any)."""
@@ -71,10 +73,18 @@ def _is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 3) -> str:
-    """Write the state tree; prune to the newest ``keep`` checkpoints."""
+def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 3,
+                    name: Optional[str] = None,
+                    manifest_extra: Optional[dict] = None) -> str:
+    """Write the state tree; prune to the newest ``keep`` checkpoints.
+
+    ``name`` overrides the step-derived filename (e.g. "best" ->
+    ckpt_best.msgpack, which the numeric pruner never touches); restore it
+    with ``restore_checkpoint(..., step="best")``. ``manifest_extra`` keys are
+    merged into manifest.json (read-modify-write, so a "best" save records
+    best_step without clobbering latest_step)."""
     step = int(jax.device_get(state.step))
-    path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
+    path = os.path.join(ckpt_dir, f"ckpt_{name if name else step}.msgpack")
     if _is_primary():
         os.makedirs(ckpt_dir, exist_ok=True)
         host_state = jax.device_get(state)
@@ -83,9 +93,20 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 3) -> str:
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
-        with open(os.path.join(ckpt_dir, "manifest.json"), "w") as f:
-            json.dump({"latest_step": step}, f)
-        _prune(ckpt_dir, keep)
+        manifest_path = os.path.join(ckpt_dir, "manifest.json")
+        manifest = {}
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    manifest = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                manifest = {}
+        manifest["latest_step" if name is None else f"{name}_step"] = step
+        manifest.update(manifest_extra or {})
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+        if name is None:
+            _prune(ckpt_dir, keep)
     return path
 
 
@@ -108,8 +129,11 @@ def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
 
 
 def restore_checkpoint(ckpt_dir: str, template: TrainState,
-                       step: Optional[int] = None) -> TrainState:
-    """Restore into the structure of ``template`` (from init_train_state)."""
+                       step=None) -> TrainState:
+    """Restore into the structure of ``template`` (from init_train_state).
+
+    ``step``: None = latest numbered checkpoint; an int = that step; a name
+    string (e.g. "best") = the correspondingly named checkpoint."""
     if step is None:
         step = latest_checkpoint_step(ckpt_dir)
         if step is None:

@@ -73,6 +73,33 @@ def evaluate_image(cfg: Config, params, dataset, index: int,
     return out
 
 
+def evaluate_images(cfg: Config, params, dataset, *, mesh=None) -> dict:
+    """Score held-out views and return MEAN eval/psnr_image + eval/ssim.
+
+    ``train.eval_image_views`` selects coverage: -1 renders ALL test views
+    (the claim-grade mean); k >= 1 renders a FIXED window of the first k
+    views — fixed rather than cycling so the mean is comparable across eval
+    boundaries (a cycling single view confounds view difficulty with training
+    progress). Per-view PSNRs are returned under eval/psnr_view_<i> so the
+    metrics log carries the full table."""
+    k = cfg.train.eval_image_views
+    n = dataset.n_images
+    indices = list(range(n if k <= 0 or k >= n else k))
+    psnrs, ssims, out = {}, {}, {}
+    for i in indices:
+        one = evaluate_image(cfg, params, dataset, i, mesh=mesh)
+        if "eval/psnr_image" in one:
+            psnrs[i] = one["eval/psnr_image"]
+        if "eval/ssim" in one:
+            ssims[i] = one["eval/ssim"]
+    if psnrs:
+        out["eval/psnr_image"] = float(np.mean(list(psnrs.values())))
+        out.update({f"eval/psnr_view_{i}": v for i, v in psnrs.items()})
+    if ssims:
+        out["eval/ssim"] = float(np.mean(list(ssims.values())))
+    return out
+
+
 def install_preemption_handler(signals=(signal.SIGTERM, signal.SIGINT)):
     """Failure-detection hook (SURVEY.md §5): a crash in the reference loses
     everything since the last periodic checkpoint (train.py:98-100). Here
@@ -112,7 +139,16 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     dataset = get_dataset(cfg.data, "train")
     try:
         eval_dataset = get_dataset(cfg.data, "test")
-    except Exception:
+    except FileNotFoundError as e:
+        # Only the expected missing-split case falls back; anything else
+        # (corrupt data, a typo'd loader kwarg, ...) propagates. The fallback
+        # warns loudly because eval/* would otherwise silently score the
+        # TRAIN split.
+        import warnings
+
+        warnings.warn(
+            f"no test split found ({e}); eval/* metrics will be computed on "
+            "the TRAIN split", RuntimeWarning, stacklevel=2)
         eval_dataset = dataset
 
     state = init_train_state(
@@ -153,6 +189,7 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
         return k, rays, pixels
 
     step = start_step
+    best_eval_psnr = float("-inf")
     preempted, restore_signals = install_preemption_handler()
     ckpt_writer = AsyncCheckpointer()
     eval_fn = None  # built lazily (jitted once) on the first eval boundary
@@ -211,10 +248,17 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
 
             if (crossed(cfg.train.eval_image_every, step, new_step)
                     and eval_dataset.n_images > 0):
-                logger.log(new_step, evaluate_image(
-                    cfg, state.params, eval_dataset,
-                    (new_step // cfg.train.eval_image_every - 1)
-                    % eval_dataset.n_images, mesh=mesh))
+                img_metrics = evaluate_images(
+                    cfg, state.params, eval_dataset, mesh=mesh)
+                logger.log(new_step, img_metrics)
+                mean_psnr = img_metrics.get("eval/psnr_image")
+                if (cfg.train.keep_best and mean_psnr is not None
+                        and mean_psnr > best_eval_psnr):
+                    best_eval_psnr = mean_psnr
+                    ckpt_writer.save(
+                        cfg.train.checkpoint_dir, state,
+                        cfg.train.keep_checkpoints, name="best",
+                        manifest_extra={"best_psnr_image": mean_psnr})
 
             if crossed(cfg.train.save_every, step, new_step):
                 # Device-side snapshot + background write; training continues.

@@ -78,6 +78,33 @@ class TestDistillation:
         oracle = _naive_bounds(t_f, w_f, t_c)
         np.testing.assert_allclose(ours, oracle, rtol=1e-5)
 
+    def test_banded_matches_einsum_oracle(self):
+        """The banded prefix-sum form vs the O(Nc*Nf) overlap-mask einsum,
+        on asymmetric grids (Nc != Nf) including exact touching edges."""
+        from mipnerf360_tpu.losses.distillation import weight_bounds_einsum
+
+        rng = np.random.default_rng(7)
+        B, Nc, Nf = 5, 12, 20
+        t_f = np.sort(rng.uniform(1, 6, (B, Nf + 1)).astype(np.float32), -1)
+        t_c = np.sort(rng.uniform(1, 6, (B, Nc + 1)).astype(np.float32), -1)
+        # force touching edges: coarse edge exactly equals a fine edge
+        t_c[:, 3] = t_f[:, 5]
+        t_c = np.sort(t_c, -1)
+        w_f = rng.uniform(0, 0.2, (B, Nf)).astype(np.float32)
+        banded = np.asarray(jax.jit(weight_bounds)(
+            jnp.asarray(t_f), jnp.asarray(w_f), jnp.asarray(t_c)))
+        oracle = np.asarray(weight_bounds_einsum(
+            jnp.asarray(t_f), jnp.asarray(w_f), jnp.asarray(t_c)))
+        np.testing.assert_allclose(banded, oracle, rtol=1e-5, atol=1e-6)
+
+    def test_banded_disjoint_grids_zero(self):
+        """Coarse intervals entirely outside the fine grid bound to zero."""
+        t_f = jnp.linspace(1.0, 2.0, 9)[None]
+        w_f = jnp.ones((1, 8)) * 0.1
+        t_c = jnp.linspace(5.0, 6.0, 5)[None]
+        np.testing.assert_allclose(
+            np.asarray(weight_bounds(t_f, w_f, t_c)), 0.0, atol=0)
+
     def test_bounds_stop_gradient(self):
         t = jnp.linspace(1, 6, 9)[None]
         w = jnp.ones((1, 8)) * 0.1

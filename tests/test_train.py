@@ -205,3 +205,74 @@ class TestCheckpoint:
             save_checkpoint(str(tmp_path), state, keep=2)
         files = [f for f in os.listdir(tmp_path) if f.startswith("ckpt_")]
         assert len(files) == 2
+
+
+class TestTrainerEval:
+    """Full-trainer behaviors: eval fallback warning, best-ckpt retention."""
+
+    def _make_train_only_blender(self, base):
+        """A blender scene dir with ONLY a train split (no transforms_test)."""
+        import json as _json
+        import os
+
+        from PIL import Image
+
+        os.makedirs(os.path.join(base, "train"), exist_ok=True)
+        frames = []
+        for i in range(2):
+            img = np.full((8, 8, 4), 255, np.uint8)
+            Image.fromarray(img).save(os.path.join(base, "train", f"r_{i}.png"))
+            c2w = np.eye(4)
+            c2w[2, 3] = 4.0
+            frames.append({"file_path": f"train/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(base, "transforms_train.json"), "w") as f:
+            _json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+
+    def test_missing_test_split_warns_not_silent(self, tmp_path):
+        """trainer.py eval fallback: a missing test split must WARN, never
+        silently score the train split (VERDICT.md round-2 weak #3)."""
+        from mipnerf360_tpu.config import get_config
+        from mipnerf360_tpu.train.trainer import train
+
+        scene = str(tmp_path / "scene")
+        self._make_train_only_blender(scene)
+        cfg = get_config(
+            model=dict(num_samples=8, hidden_proposal=16, hidden_nerf=16,
+                       nerf_depth=2, compute_dtype="float32"),
+            train=dict(max_steps=2, batch_size=8, log_every=1, eval_every=0,
+                       save_every=0,
+                       checkpoint_dir=str(tmp_path / "ckpt")),
+            data=dict(dataset="blender", base_dir=scene, factor=1),
+            mesh=dict(data=1, model=1),
+        )
+        with pytest.warns(RuntimeWarning, match="TRAIN split"):
+            train(cfg)
+
+    def test_keep_best_saves_best_checkpoint(self, tmp_path):
+        """keep_best writes ckpt_best.msgpack at image-eval boundaries and
+        restore_checkpoint(step="best") loads it; manifest records the
+        best mean PSNR alongside latest_step."""
+        import json as _json
+        import os
+
+        from mipnerf360_tpu.train.trainer import train
+
+        ckpt = str(tmp_path / "ckpt")
+        cfg = tiny_config("joint", log_every=2, eval_every=0, save_every=0,
+                          eval_image_every=2, checkpoint_dir=ckpt)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, max_steps=4))
+        train(cfg)
+        assert os.path.exists(os.path.join(ckpt, "ckpt_best.msgpack"))
+        with open(os.path.join(ckpt, "manifest.json")) as f:
+            manifest = _json.load(f)
+        assert "best_psnr_image" in manifest and "best_step" in manifest
+        assert manifest["latest_step"] == 4
+
+        template = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        best = restore_checkpoint(ckpt, template, step="best")
+        assert int(best.step) == manifest["best_step"]
+        # best is never pruned by numeric keep
+        latest = restore_checkpoint(ckpt, template)
+        assert int(latest.step) == 4

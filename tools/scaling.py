@@ -1,4 +1,4 @@
-"""Scaling-efficiency harness -> SCALING_r2.json.
+"""Scaling-efficiency harness -> SCALING_r3.json (override with --out).
 
 BASELINE.md targets >=85% iter/s scaling efficiency from 1 host to 2 hosts.
 No multi-chip or multi-host TPU hardware exists in this environment (one
@@ -91,6 +91,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--out", default="SCALING_r3.json")
     args = ap.parse_args()
 
     mesh_rows = []
@@ -136,7 +137,7 @@ def main():
             "efficiency_2proc_vs_1proc": loopback_eff,
         },
     }
-    out_path = os.path.join(REPO, "SCALING_r2.json")
+    out_path = os.path.join(REPO, args.out)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(f"wrote {out_path}")
