@@ -44,7 +44,7 @@ def _searchsorted(a, v, side: str):
     return out.reshape(v.shape)
 
 
-def weight_bounds(t_fine, w_fine, t_coarse):
+def weight_bounds_banded(t_fine, w_fine, t_coarse):
     """For each coarse interval, sum the fine weights of overlapping intervals.
 
     t_fine: [..., Nf+1]; w_fine: [..., Nf]; t_coarse: [..., Nc+1].
@@ -56,6 +56,13 @@ def weight_bounds(t_fine, w_fine, t_coarse):
     upper edge reaches lo_i and jhi_i counts those whose lower edge is at most
     hi_i (touching counts, matching the oracle's ``~(> | <)`` mask). Two
     binary searches per coarse edge — O(Nc log Nf), no [.., Nc, Nf] tensor.
+
+    NOT the TPU production path at flagship shapes: the binary searches and
+    prefix gathers are serial VPU work, and making this the default measured
+    50,053 -> 34,596 rays/s/chip (-31%) on v5e at B=4096, N=64, where the
+    einsum's [B, Nc, Nf] tensor is 33 MFLOP of MXU time and a 64 MiB
+    transient — both noise. ``weight_bounds`` dispatches here only when the
+    quadratic transient would be big enough to threaten HBM (N >~ 512).
     """
     t0 = t_fine[..., :-1]   # [..., Nf] (sorted)
     t1 = t_fine[..., 1:]    # [..., Nf] (sorted)
@@ -69,6 +76,26 @@ def weight_bounds(t_fine, w_fine, t_coarse):
     bounds = (jnp.take_along_axis(prefix, jhi, axis=-1)
               - jnp.take_along_axis(prefix, jlo, axis=-1))
     return jax.lax.stop_gradient(bounds)
+
+
+# Above this many fine x coarse interval pairs, the einsum's [.., Nc, Nf]
+# transient starts to matter for HBM and the banded form wins; below it the
+# einsum is MXU-fused and ~31% faster end-to-end (measured, see
+# weight_bounds_banded docstring). Static shapes, so the dispatch is free.
+_BANDED_PAIRS_THRESHOLD = 512 * 512
+
+
+def weight_bounds(t_fine, w_fine, t_coarse):
+    """Production bound: einsum at flagship shapes, banded for very large N.
+
+    Same contract as ``weight_bounds_banded`` (the two agree exactly; see
+    tests/test_losses.py).
+    """
+    nf = w_fine.shape[-1]
+    nc = t_coarse.shape[-1] - 1
+    if nf * nc > _BANDED_PAIRS_THRESHOLD:
+        return weight_bounds_banded(t_fine, w_fine, t_coarse)
+    return weight_bounds_einsum(t_fine, w_fine, t_coarse)
 
 
 def proposal_loss(w_coarse, bounds, eps: float = 1e-6):

@@ -81,7 +81,8 @@ class TestDistillation:
     def test_banded_matches_einsum_oracle(self):
         """The banded prefix-sum form vs the O(Nc*Nf) overlap-mask einsum,
         on asymmetric grids (Nc != Nf) including exact touching edges."""
-        from mipnerf360_tpu.losses.distillation import weight_bounds_einsum
+        from mipnerf360_tpu.losses.distillation import (weight_bounds_banded,
+                                                        weight_bounds_einsum)
 
         rng = np.random.default_rng(7)
         B, Nc, Nf = 5, 12, 20
@@ -91,11 +92,32 @@ class TestDistillation:
         t_c[:, 3] = t_f[:, 5]
         t_c = np.sort(t_c, -1)
         w_f = rng.uniform(0, 0.2, (B, Nf)).astype(np.float32)
-        banded = np.asarray(jax.jit(weight_bounds)(
+        banded = np.asarray(jax.jit(weight_bounds_banded)(
             jnp.asarray(t_f), jnp.asarray(w_f), jnp.asarray(t_c)))
         oracle = np.asarray(weight_bounds_einsum(
             jnp.asarray(t_f), jnp.asarray(w_f), jnp.asarray(t_c)))
         np.testing.assert_allclose(banded, oracle, rtol=1e-5, atol=1e-6)
+
+    def test_weight_bounds_dispatch(self):
+        """The production wrapper uses the MXU einsum at flagship sizes and
+        switches to the banded form above the pairs threshold (measured
+        -31% end-to-end for banded-everywhere; distillation.py)."""
+        from mipnerf360_tpu.losses import distillation as d
+
+        calls = []
+        orig_e, orig_b = d.weight_bounds_einsum, d.weight_bounds_banded
+        d.weight_bounds_einsum = lambda *a: calls.append("einsum") or orig_e(*a)
+        d.weight_bounds_banded = lambda *a: calls.append("banded") or orig_b(*a)
+        try:
+            t64 = jnp.linspace(1, 6, 65)[None]
+            w64 = jnp.ones((1, 64)) * 0.01
+            d.weight_bounds(t64, w64, t64)
+            tbig = jnp.linspace(1, 6, 1025)[None]
+            wbig = jnp.ones((1, 1024)) * 0.001
+            d.weight_bounds(tbig, wbig, tbig)
+        finally:
+            d.weight_bounds_einsum, d.weight_bounds_banded = orig_e, orig_b
+        assert calls == ["einsum", "banded"], calls
 
     def test_banded_disjoint_grids_zero(self):
         """Coarse intervals entirely outside the fine grid bound to zero."""
