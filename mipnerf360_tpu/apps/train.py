@@ -26,6 +26,12 @@ def main():
         jax.distributed.initialize()
 
     cfg = config_from_args(args)
+    if args.resume:
+        # Re-resolve through the checkpoint dir's saved config.json so
+        # `--resume` needs no model.* re-specification: the first pass only
+        # locates checkpoint_dir (preset/--set); the second makes the saved
+        # config the base, with the CLI overrides still applied on top.
+        cfg = config_from_args(args, ckpt_dir=cfg.train.checkpoint_dir)
 
     def on_step(step, scalars):
         print(f"[step={step}] "

@@ -171,3 +171,34 @@ def test_eval_app_step_selection(tmp_path, capsys):
     finally:
         sys.argv = old
     assert "restored step=2" in capsys.readouterr().out
+
+
+def test_train_resume_autoloads_saved_config(tmp_path):
+    """`--resume` with only train.* flags must rebuild the model from the
+    checkpoint dir's config.json (a default-config model would fail the
+    restore on a trunk-depth shape mismatch) and continue past the saved
+    step."""
+    from mipnerf360_tpu.apps import train as train_app
+
+    ckpt = str(tmp_path / "ckpt")
+    old = sys.argv
+    sys.argv = _argv(SETS + [
+        "train.max_steps=4", "train.batch_size=8", "train.log_every=2",
+        "train.save_every=2", "train.eval_every=0",
+        f"train.checkpoint_dir={ckpt}"])
+    try:
+        train_app.main()
+    finally:
+        sys.argv = old
+    assert os.path.exists(os.path.join(ckpt, "ckpt_4.msgpack"))
+
+    # resume: NO model.* overrides — config must come from config.json
+    sys.argv = ["prog", "--resume",
+                "--set", f"train.checkpoint_dir={ckpt}",
+                "--set", "train.max_steps=6", "--set", "train.save_every=2",
+                "--set", "train.log_every=2", "--set", "train.eval_every=0"]
+    try:
+        train_app.main()
+    finally:
+        sys.argv = old
+    assert os.path.exists(os.path.join(ckpt, "ckpt_6.msgpack"))

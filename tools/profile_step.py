@@ -44,9 +44,14 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--pallas", default="auto")
+    ap.add_argument("--quality", action="store_true",
+                    help="profile the quality model (QUALITY_MODEL overrides: "
+                         "multi-scale IPE deg 5, input width 226) instead of "
+                         "the single-scale parity model")
     args = ap.parse_args()
 
-    from mipnerf360_tpu.config import Config, MeshConfig, ModelConfig, TrainConfig
+    from mipnerf360_tpu.config import (QUALITY_MODEL, Config, MeshConfig,
+                                       ModelConfig, TrainConfig)
     from mipnerf360_tpu.core.rays import Rays, dummy_rays, rays_map
     from mipnerf360_tpu.models.mipnerf360 import (_encode, init_model,
                                                   nerf_forward, prop_forward)
@@ -55,7 +60,10 @@ def main():
     from mipnerf360_tpu.train.state import init_train_state
     from mipnerf360_tpu.train.step import make_train_loop
 
-    cfg = Config(model=ModelConfig(use_pallas=args.pallas),
+    model_kw = dict(use_pallas=args.pallas)
+    if args.quality:
+        model_kw.update(QUALITY_MODEL)
+    cfg = Config(model=ModelConfig(**model_kw),
                  train=TrainConfig(batch_size=args.batch, cadence="joint"),
                  mesh=MeshConfig(data=1, model=1))
     mcfg = cfg.model
@@ -69,7 +77,8 @@ def main():
 
     # 1. pure matmul floor: the nerf trunk shapes on fake activations
     x58 = jnp.ones((B * N, mcfg.input_dim), jnp.bfloat16)
-    trunk_acts = ["relu"] * (mcfg.nerf_depth - 1) + ["sigmoid"]
+    trunk_acts = ["relu"] * (mcfg.nerf_depth - 1) + (
+        ["sigmoid"] if mcfg.trunk_final_sigmoid else ["relu"])
 
     timed_scan("nerf trunk fwd (matmul floor)", lambda c: jnp.sum(
         apply_mlp(params["nerf"]["trunk"], x58 + c.astype(jnp.bfloat16),
