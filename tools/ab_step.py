@@ -1,0 +1,88 @@
+"""Subtractive A/B: the marginal cost of one piece inside the REAL fused step.
+
+Isolated-piece timing (tools/profile_step.py) over-charges small ops: each
+piece pays its own scan-iteration dispatch, while in the fused train step XLA
+overlaps VPU work with the matmul chain. This harness measures what a piece
+actually costs where it runs: stub it out of the production step and re-time
+the same 20-step scanned loop bench.py uses.
+
+    python tools/ab_step.py baseline
+    python tools/ab_step.py no_distortion | no_distillation | no_resample | no_blur
+
+Round-3 v5e result (PROFILE_r3.json "subtractive_ab_ms_per_step"): every
+variant moves the 82 ms step by <1% — the step is matmul-bound, full stop.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "baseline"
+
+    import jax
+    import jax.numpy as jnp
+
+    import mipnerf360_tpu.core.sampling as samp_mod
+    import mipnerf360_tpu.losses.distillation as dill_mod
+    import mipnerf360_tpu.losses.distortion as dist_mod
+    import mipnerf360_tpu.ops.fused as fused_mod
+
+    if variant == "no_distortion":
+        dist_mod.distortion_loss = lambda s, w, reduction="sum": jnp.sum(w) * 0.0
+    elif variant == "no_distillation":
+        dill_mod.distillation_loss = lambda tf, wf, tc, wc: jnp.sum(wc) * 0.0
+    elif variant == "no_resample":
+        fused_mod.resample_along_rays = (
+            lambda key, t, w, r, p, mode="auto": jax.lax.stop_gradient(t))
+    elif variant == "no_blur":
+        samp_mod.blur_weights = lambda w: w
+    elif variant != "baseline":
+        raise SystemExit(f"unknown variant {variant!r}")
+
+    # import + reload AFTER the monkeypatch so step.py binds the stubs
+    import importlib
+
+    import mipnerf360_tpu.train.step as step_mod
+    importlib.reload(step_mod)
+
+    from mipnerf360_tpu.config import (Config, DataConfig, MeshConfig,
+                                       ModelConfig, TrainConfig)
+    from mipnerf360_tpu.core.rays import dummy_rays, rays_map
+    from mipnerf360_tpu.parallel.mesh import (make_mesh, shard_batch_stack,
+                                              shard_params)
+    from mipnerf360_tpu.train.state import init_train_state
+
+    B, K = 4096, 20
+    cfg = Config(model=ModelConfig(),
+                 train=TrainConfig(batch_size=B, cadence="joint"),
+                 data=DataConfig(), mesh=MeshConfig(data=1, model=1))
+    mesh = make_mesh(1, 1)
+    state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+    state = state._replace(params=shard_params(mesh, state.params))
+    loop = step_mod.make_train_loop(cfg, mesh, donate=True)
+    stack = lambda x: np.broadcast_to(np.asarray(x)[None],
+                                      (K,) + np.asarray(x).shape)
+    rays_s, pix_s = shard_batch_stack(
+        mesh, rays_map(stack, dummy_rays(B)),
+        stack(np.random.default_rng(0).uniform(0, 1, (B, 3)).astype(np.float32)))
+    for _ in range(3):  # >=2 warmups required on the axon runtime (bench.py)
+        state, aux = loop(state, rays_s, pix_s)
+        float(jax.device_get(aux["loss"][-1]))
+    t0 = time.perf_counter()
+    state, aux = loop(state, rays_s, pix_s)
+    float(jax.device_get(aux["loss"][-1]))
+    dt = (time.perf_counter() - t0) / K
+    print(json.dumps({"variant": variant, "ms_per_step": round(dt * 1e3, 2),
+                      "rays_per_sec": round(B / dt, 1)}))
+
+
+if __name__ == "__main__":
+    main()
