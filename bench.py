@@ -35,7 +35,12 @@ def bench_render(args):
     from mipnerf360_tpu.core.rays import dummy_rays, rays_to_device
     from mipnerf360_tpu.models.mipnerf360 import init_model, render_image
 
-    cfg = ModelConfig(use_pallas=args.pallas)  # flagship
+    from mipnerf360_tpu.config import QUALITY_MODEL
+
+    model_kw = dict(use_pallas=args.pallas)
+    if args.quality:
+        model_kw.update(QUALITY_MODEL)
+    cfg = ModelConfig(**model_kw)  # flagship
     params = init_model(jax.random.PRNGKey(0), cfg)
     n_rays = args.batch * args.steps  # one "image" worth of rays
     rays = rays_to_device(dummy_rays(n_rays))
@@ -49,12 +54,15 @@ def bench_render(args):
     t0 = time.perf_counter()
     run()
     dt = time.perf_counter() - t0
-    print(json.dumps({
+    out = {
         "metric": "render_rays_per_sec_per_chip",
         "value": round(n_rays / dt / len(jax.devices()), 1),
         "unit": "rays/s",
         "vs_baseline": None,
-    }))
+    }
+    if args.quality:
+        out["config"] = "quality (input %d)" % cfg.input_dim
+    print(json.dumps(out))
 
 
 def matmul_flops_per_ray(mcfg) -> float:
