@@ -60,8 +60,18 @@ def apply_overrides(cfg: Config, sets) -> Config:
 
 
 def config_from_args(args, ckpt_dir: str = "") -> Config:
-    """Resolve a Config: checkpoint's saved config.json (if present) ->
-    preset -> CLI --set overrides (highest precedence)."""
+    """Resolve a Config.
+
+    Without a checkpoint: preset -> CLI --set overrides.
+
+    With a checkpoint (``--resume``): the saved config.json is AUTHORITATIVE —
+    it already embeds whatever preset and --set overrides produced the run, so
+    replacing it with a freshly-built preset would silently drop the original
+    model.* overrides (shape-mismatch crash on restore at best, silent config
+    divergence at worst). ``--preset`` alongside a checkpoint is only accepted
+    when it matches the saved preset (the documented `--resume --preset X`
+    flow); a different preset is an error rather than a footgun. CLI --set
+    overrides still apply on top (highest precedence)."""
     import os
 
     cfg = None
@@ -72,6 +82,10 @@ def config_from_args(args, ckpt_dir: str = "") -> Config:
                 cfg = Config.from_json(f.read())
     if cfg is None:
         cfg = get_config(args.preset)
-    elif args.preset:
-        cfg = get_config(args.preset)
+    elif args.preset and args.preset != cfg.preset:
+        raise SystemExit(
+            f"--preset {args.preset!r} conflicts with the checkpoint's saved "
+            f"config (preset {cfg.preset!r}). On resume the saved config is "
+            "authoritative; drop --preset or use --set for deliberate "
+            "overrides.")
     return apply_overrides(cfg, args.set)

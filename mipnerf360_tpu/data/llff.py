@@ -141,8 +141,22 @@ def load_llff(cfg: DataConfig, split: str = "train", spherify: bool = False,
         focal = poses[0, -1, -1]
         n_images = images.shape[0]
 
-    rays = pinhole_rays(cam_to_world, h, w, float(focal), cfg.near, cfg.far)
-    rays = ndc_rays(rays, float(focal), w, h, cfg.near, cfg.far)
+    if cfg.use_ndc:
+        # Reference parity: project to NDC with near=0/far=1
+        # (dataset.py:364-387); cfg.near/far are the NDC bounds.
+        near, far = cfg.near, cfg.far
+        rays = pinhole_rays(cam_to_world, h, w, float(focal), near, far)
+        rays = ndc_rays(rays, float(focal), w, h, near, far)
+    else:
+        # NDC-free contract() operating point (BASELINE.json configs[2]):
+        # metric-space rays with near/far from the scene's depth bounds —
+        # the same bds the reference loads (dataset.py:252-258) but never
+        # uses for ray bounds because its LLFF path is NDC-only. The
+        # s-spacing (disparity) sampler + contract() then do the unbounded
+        # handling on real geometry.
+        near = float(bds.min() * 0.9)
+        far = float(bds.max())
+        rays = pinhole_rays(cam_to_world, h, w, float(focal), near, far)
     flat_rays, flat_pix = flatten_images(rays, images)
     return RayDataset(rays=flat_rays, pixels=flat_pix, h=h, w=w,
-                      near=cfg.near, far=cfg.far, n_images=n_images)
+                      near=near, far=far, n_images=n_images)

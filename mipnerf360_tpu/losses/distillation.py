@@ -78,22 +78,34 @@ def weight_bounds_banded(t_fine, w_fine, t_coarse):
     return jax.lax.stop_gradient(bounds)
 
 
-# Above this many fine x coarse interval pairs, the einsum's [.., Nc, Nf]
-# transient starts to matter for HBM and the banded form wins; below it the
+# Above this many bytes of [.., Nc, Nf] einsum transient, the quadratic
+# overlap tensor starts to threaten HBM and the banded form wins; below it the
 # einsum is MXU-fused and ~31% faster end-to-end (measured, see
-# weight_bounds_banded docstring). Static shapes, so the dispatch is free.
-_BANDED_PAIRS_THRESHOLD = 512 * 512
+# weight_bounds_banded docstring). The budget counts the full transient —
+# batch dims INCLUDED — because that is what actually lands in HBM: at
+# B=4096, Nc=Nf=512 the f32 overlap operand alone is ~4 GiB, far past any
+# per-ray-pair threshold. 256 MiB keeps the flagship B=4096, N=64 shape
+# (64 MiB) comfortably on the einsum path. Static shapes -> free dispatch.
+_BANDED_BYTES_THRESHOLD = 256 * 1024 * 1024
+
+
+def _einsum_transient_bytes(w_fine, nc: int) -> int:
+    import math
+
+    batch = math.prod(w_fine.shape[:-1])
+    itemsize = jnp.dtype(w_fine.dtype).itemsize
+    return batch * nc * w_fine.shape[-1] * itemsize
 
 
 def weight_bounds(t_fine, w_fine, t_coarse):
-    """Production bound: einsum at flagship shapes, banded for very large N.
+    """Production bound: einsum at flagship shapes, banded when the quadratic
+    overlap transient would exceed the HBM byte budget.
 
     Same contract as ``weight_bounds_banded`` (the two agree exactly; see
     tests/test_losses.py).
     """
-    nf = w_fine.shape[-1]
     nc = t_coarse.shape[-1] - 1
-    if nf * nc > _BANDED_PAIRS_THRESHOLD:
+    if _einsum_transient_bytes(w_fine, nc) > _BANDED_BYTES_THRESHOLD:
         return weight_bounds_banded(t_fine, w_fine, t_coarse)
     return weight_bounds_einsum(t_fine, w_fine, t_coarse)
 

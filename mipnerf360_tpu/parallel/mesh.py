@@ -76,6 +76,24 @@ def shard_batch_stack(mesh: Mesh, rays: Rays, pixels=None):
     return rays, jax.device_put(np.asarray(pixels), sh)
 
 
+def shard_batch_stack_local(mesh: Mesh, rays: Rays, pixels=None):
+    """Multi-host counterpart of :func:`shard_batch_stack`: each process
+    passes only its [K, B/P, c] shard of the global [K, B, c] stack and the
+    global array is assembled from process-local data — no host ever touches
+    the full global batch. Local shards must be ordered by process index
+    along the batch axis (the layout ``RayDataset.batch_stack_local``
+    produces)."""
+    sh = NamedSharding(mesh, P(None, "data"))
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    rays = rays_map(put, rays)
+    if pixels is None:
+        return rays
+    return rays, put(pixels)
+
+
 def param_shardings(mesh: Mesh, params) -> Any:
     """Sharding tree for params: replicated by default; NeRF trunk hidden dims
     sharded over "model" when that axis is >1 (Megatron alternation)."""

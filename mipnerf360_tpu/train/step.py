@@ -39,8 +39,9 @@ from .state import TrainState, apply_updates_subtree, make_optimizer
 
 
 def _lr(train_cfg, count):
+    horizon = train_cfg.lr_max_steps or train_cfg.max_steps
     return log_lerp_lr(
-        count, train_cfg.lr_init, train_cfg.lr_final, train_cfg.max_steps,
+        count, train_cfg.lr_init, train_cfg.lr_final, horizon,
         train_cfg.lr_delay_steps, train_cfg.lr_delay_mult)
 
 

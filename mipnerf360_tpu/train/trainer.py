@@ -21,7 +21,8 @@ from ..data import get_dataset
 from ..losses.photometric import photometric_loss
 from ..models.mipnerf360 import render_rays
 from ..parallel.mesh import (batch_sharding, make_mesh, shard_batch,
-                             shard_batch_stack, shard_params)
+                             shard_batch_stack, shard_batch_stack_local,
+                             shard_params)
 from ..utils.logging import MetricsLogger, Timer
 from .checkpoint import (AsyncCheckpointer, latest_checkpoint_step,
                          restore_checkpoint, save_checkpoint)
@@ -100,6 +101,25 @@ def evaluate_images(cfg: Config, params, dataset, *, mesh=None) -> dict:
     return out
 
 
+def stage_batch(mesh, dataset, k: int, batch_size: int, seed: int,
+                at_step: int):
+    """Assemble + upload a [K, B, c] stack of k per-step batches.
+
+    Single-process: one native-sampler gather of the full stack. Multi-host:
+    each process gathers ONLY its [K, B/P, c] shard of the same stateless
+    index stream and the global array is built from process-local data
+    (jax.make_array_from_process_local_data) — bit-identical to the global
+    path (tests/_multihost_staging_worker.py) but with host work and
+    host->device bytes scaling per-host, not per-pod."""
+    if jax.process_count() > 1:
+        rays_np, pix_np = dataset.batch_stack_local(
+            k, batch_size, seed, at_step,
+            jax.process_index(), jax.process_count())
+        return shard_batch_stack_local(mesh, rays_np, pix_np)
+    rays_np, pix_np = dataset.batch_stack(k, batch_size, seed, at_step)
+    return shard_batch_stack(mesh, rays_np, pix_np)
+
+
 def install_preemption_handler(signals=(signal.SIGTERM, signal.SIGINT)):
     """Failure-detection hook (SURVEY.md §5): a crash in the reference loses
     everything since the last periodic checkpoint (train.py:98-100). Here
@@ -134,6 +154,16 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
           on_step: Optional[Callable[[int, dict], None]] = None) -> TrainState:
     """Run training; returns the final TrainState."""
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
+
+    # Anchor the LR-decay horizon NOW so it survives resume-extension: the
+    # resolved value lands in the checkpoint's config.json (authoritative on
+    # resume), so raising train.max_steps later extends training on the
+    # original schedule instead of re-inflating the LR (the r3 resume run
+    # dipped 11 dB when the schedule silently re-mapped onto the new horizon).
+    if cfg.train.lr_max_steps == 0:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, lr_max_steps=max_steps))
 
     mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
     dataset = get_dataset(cfg.data, "train")
@@ -183,9 +213,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     def stage(at_step: int):
         """Assemble + upload the next chunk's batch (native sampler)."""
         k = min(chunk - at_step % chunk, max_steps - at_step)
-        rays_np, pix_np = dataset.batch_stack(
-            k, cfg.train.batch_size, cfg.train.seed, at_step)
-        rays, pixels = shard_batch_stack(mesh, rays_np, pix_np)
+        rays, pixels = stage_batch(mesh, dataset, k, cfg.train.batch_size,
+                                   cfg.train.seed, at_step)
         return k, rays, pixels
 
     step = start_step

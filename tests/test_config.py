@@ -33,7 +33,8 @@ class TestPresets:
         # The exact field values the convergence run (PARITY_PSNR.json
         # "convergence" / tools/parity_psnr.py quality=True) proved converge
         # — VERDICT.md round-2 item 1: the shipping presets must carry them.
-        for name in ["garden_quality", "synthetic_quality"]:
+        for name in ["garden_quality", "synthetic_quality",
+                     "blender_lego_quality", "llff_fern_quality"]:
             cfg = get_config(name)
             assert cfg.model.density_head_sigmoid is False
             assert cfg.model.trunk_final_sigmoid is False
@@ -56,6 +57,15 @@ class TestPresets:
     def test_quality_input_dim(self):
         # multi-scale IPE deg 5: 42*5 + 16 = 226
         assert get_config("synthetic_quality").model.input_dim == 226
+
+    def test_ndc_free_fern_presets(self):
+        # BASELINE configs[2]: NDC-free contract() fern, parity + quality
+        for name in ["llff_fern_contract", "llff_fern_quality"]:
+            cfg = get_config(name)
+            assert cfg.data.use_ndc is False
+            assert cfg.data.dataset == "llff" and cfg.data.scene == "fern"
+        assert get_config("llff_fern").data.use_ndc is True  # reference parity
+        assert get_config("blender_lego_quality").model.white_bkgd is True
 
 
 class TestSerialization:
@@ -117,3 +127,24 @@ class TestOverrides:
         assert loaded.preset == "tiny_lego"
         assert loaded.train.batch_size == 99
         assert loaded.model.hidden_nerf == cfg.model.hidden_nerf
+
+    def test_ckpt_config_authoritative_over_matching_preset(self, tmp_path):
+        """`--resume --preset X` (the documented flow): the SAVED config —
+        including its original model.* overrides — must survive, not be
+        replaced by a freshly-built preset (advisor r3 medium: the old code
+        discarded the saved config whenever --preset was given, dropping
+        e.g. a changed trunk depth -> restore shape-mismatch crash)."""
+        cfg = apply_overrides(get_config("tiny_lego"),
+                              ["model.nerf_depth=2", "model.density_bias=-3.0"])
+        with open(tmp_path / "config.json", "w") as f:
+            f.write(cfg.to_json())
+        loaded = config_from_args(_args([], preset="tiny_lego"),
+                                  ckpt_dir=str(tmp_path))
+        assert loaded.model.nerf_depth == 2          # shape-bearing override
+        assert loaded.model.density_bias == -3.0     # silent-divergence field
+
+    def test_ckpt_config_conflicting_preset_rejected(self, tmp_path):
+        with open(tmp_path / "config.json", "w") as f:
+            f.write(get_config("tiny_lego").to_json())
+        with pytest.raises(SystemExit, match="conflicts with the checkpoint"):
+            config_from_args(_args([], preset="garden"), ckpt_dir=str(tmp_path))

@@ -167,6 +167,75 @@ class TestLLFFLoader:
         assert ds.pixels is None
         assert ds.n_images == 120
 
+    def test_ndc_free_metric_bounds(self, llff_dir):
+        """use_ndc=False keeps metric-space rays with near/far derived from
+        poses_bounds depth bounds (BASELINE configs[2]): fixture bds [1, 6]
+        rescaled by 1/(1*0.75) -> near = 0.9*4/3 = 1.2, far = 8."""
+        cfg = DataConfig(dataset="llff", base_dir=llff_dir, factor=4,
+                         use_ndc=False)
+        ds = get_dataset(cfg, "train")
+        assert ds.near == pytest.approx(1.2, rel=1e-5)
+        assert ds.far == pytest.approx(8.0, rel=1e-5)
+        np.testing.assert_allclose(ds.rays.near, ds.near, rtol=1e-6)
+        np.testing.assert_allclose(ds.rays.far, ds.far, rtol=1e-6)
+        # metric rays: origins at real camera centers (NOT projected into the
+        # unit frustum), footprint radii positive/finite
+        ndc = get_dataset(DataConfig(dataset="llff", base_dir=llff_dir,
+                                     factor=4, near=0.0, far=1.0), "train")
+        assert not np.allclose(ds.rays.origins, ndc.rays.origins)
+        assert np.all(ds.rays.radii > 0) and np.all(np.isfinite(ds.rays.radii))
+
+    def test_ndc_free_end_to_end(self, llff_dir):
+        """NDC-free contract() path end-to-end: s-spacing sane at metric
+        near/far, one train step, and a chunked render — all on fabricated
+        poses_bounds geometry (VERDICT r3 item 2 done-criterion)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mipnerf360_tpu.config import (Config, MeshConfig, ModelConfig,
+                                           TrainConfig)
+        from mipnerf360_tpu.core.rays import rays_to_device
+        from mipnerf360_tpu.core.sampling import sample_along_rays
+        from mipnerf360_tpu.models.mipnerf360 import render_image
+        from mipnerf360_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                                  shard_params)
+        from mipnerf360_tpu.train import init_train_state, make_train_step
+
+        cfg = Config(
+            model=ModelConfig(num_samples=8, hidden_proposal=16,
+                              hidden_nerf=32, nerf_depth=2,
+                              compute_dtype="float32", ray_shape="cylinder"),
+            train=TrainConfig(max_steps=2, batch_size=32, cadence="joint"),
+            data=DataConfig(dataset="llff", base_dir=llff_dir, factor=4,
+                            use_ndc=False),
+            mesh=MeshConfig(data=1, model=1))
+        ds = get_dataset(cfg.data, "train")
+
+        # s-spacing: sampled t-edges live in [near, far], monotone per ray
+        rays_np, pix_np = next(ds.batches(32, seed=0))
+        t = sample_along_rays(jax.random.PRNGKey(0),
+                              jnp.asarray(rays_np.near),
+                              jnp.asarray(rays_np.far), 8, randomized=True)
+        t = np.asarray(t)
+        assert np.all(t >= ds.near - 1e-4) and np.all(t <= ds.far + 1e-4)
+        assert np.all(np.diff(t, axis=-1) > 0)
+
+        mesh = make_mesh(1, 1)
+        state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        state = state._replace(params=shard_params(mesh, state.params))
+        step_fn = make_train_step(cfg, mesh)
+        rays, pixels = shard_batch(mesh, rays_np, pix_np)
+        state, aux = step_fn(state, rays, pixels)
+        assert np.isfinite(float(jax.device_get(aux["loss"])))
+
+        rgb, dist, acc = render_image(
+            state.params, cfg.model, rays_to_device(rays_np), chunk=32)
+        rgb, dist = np.asarray(rgb), np.asarray(dist)
+        assert np.all(np.isfinite(rgb)) and np.all(np.isfinite(dist))
+        # rendered distance respects the metric bounds (renderer clamps to
+        # [t0, far])
+        assert np.all(dist >= ds.near - 1e-3) and np.all(dist <= ds.far + 1e-3)
+
     def test_nerf360_render_split_spherified(self, llff_dir):
         cfg = DataConfig(dataset="nerf_360", base_dir=llff_dir, factor=4,
                          near=0.0, far=1.0)

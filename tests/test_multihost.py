@@ -10,6 +10,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
+STAGING_WORKER = os.path.join(REPO, "tests", "_multihost_staging_worker.py")
 
 
 def _free_port() -> int:
@@ -18,14 +19,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step_agrees():
+def _run_workers(worker: str, nproc: int = 2):
     port = _free_port()
-    nproc = 2
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(nproc), str(port)],
+            [sys.executable, worker, str(pid), str(nproc), str(port)],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(nproc)
@@ -43,3 +43,13 @@ def test_two_process_train_step_agrees():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"pid={pid}:\n{out}"
         assert f"OK pid={pid}" in out, f"pid={pid}:\n{out}"
+
+
+def test_two_process_train_step_agrees():
+    _run_workers(WORKER)
+
+
+def test_two_process_staging_parity():
+    """The trainer's per-process staging (stage_batch with process_count > 1)
+    must produce bit-identical training to full-global-stack assembly."""
+    _run_workers(STAGING_WORKER)

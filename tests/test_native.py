@@ -86,3 +86,22 @@ def test_dataset_batch_stack_shapes_and_determinism():
         np.concatenate([p_a, p_b]), pix)
     np.testing.assert_array_equal(
         np.concatenate([r_a.origins, r_b.origins]), rays.origins)
+
+
+def test_batch_stack_local_shards_reassemble_global():
+    """Per-process staging shards (batch_stack_local) concatenated along the
+    batch axis reproduce batch_stack bit-for-bit — the invariant the
+    multi-host trainer path relies on (parallel/mesh.shard_batch_stack_local)."""
+    from mipnerf360_tpu.config import DataConfig
+    from mipnerf360_tpu.data import get_dataset
+
+    ds = get_dataset(DataConfig(dataset="synthetic", synthetic_resolution=8,
+                                synthetic_views=2), "train")
+    k, b, nproc = 3, 16, 4
+    rays_g, pix_g = ds.batch_stack(k, b, seed=7, start_step=5)
+    shards = [ds.batch_stack_local(k, b, 7, 5, p, nproc) for p in range(nproc)]
+    pix_cat = np.concatenate([s[1] for s in shards], axis=1)
+    np.testing.assert_array_equal(pix_cat, pix_g)
+    for field in range(len(rays_g)):
+        cat = np.concatenate([s[0][field] for s in shards], axis=1)
+        np.testing.assert_array_equal(cat, rays_g[field])

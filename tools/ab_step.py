@@ -53,6 +53,27 @@ def main():
     import mipnerf360_tpu.train.step as step_mod
     importlib.reload(step_mod)
 
+    # Guard against silent unstubbing: distillation/distortion are from-imports
+    # in step.py (bound at the reload above), resample/blur are call-time
+    # module-attribute lookups (ops/fused -> core/sampling). If a future
+    # import reorder breaks either wiring, this harness would quietly time the
+    # UNSTUBBED step and report a false "<1% marginal cost" — fail loudly
+    # instead.
+    if variant == "no_distortion":
+        assert step_mod.distortion_loss is dist_mod.distortion_loss, \
+            "stub not bound: step.py holds a stale distortion_loss"
+    elif variant == "no_distillation":
+        assert step_mod.distillation_loss is dill_mod.distillation_loss, \
+            "stub not bound: step.py holds a stale distillation_loss"
+    elif variant == "no_resample":
+        import mipnerf360_tpu.models.mipnerf360 as model_mod
+        assert model_mod.fused.resample_along_rays is fused_mod.resample_along_rays, \
+            "stub not bound: model resolves a different ops.fused module"
+    elif variant == "no_blur":
+        import mipnerf360_tpu.ops.fused as f2
+        assert f2.sampling.blur_weights is samp_mod.blur_weights, \
+            "stub not bound: ops.fused resolves a different core.sampling module"
+
     from mipnerf360_tpu.config import (Config, DataConfig, MeshConfig,
                                        ModelConfig, TrainConfig)
     from mipnerf360_tpu.core.rays import dummy_rays, rays_map
