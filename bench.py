@@ -1,16 +1,19 @@
 """Benchmark harness: training-step rays/sec/chip.
 
-Default: the single-scale parity model (ModelConfig defaults — the
-reference's architecture quirks, input width 58). ``--quality`` benches the
-paper-faithful converging model instead (config.py QUALITY_MODEL, multi-scale
-IPE, input width 226). ``--staging`` times the end-to-end path including
-per-step batch assembly + host->device upload (the default broadcasts one
-batch across the scanned steps, excluding fresh-ray HBM traffic).
+Default (no mode flags): ONE JSON line whose headline ``value`` is the
+END-TO-END number users actually get — the converging QUALITY model
+(config.py QUALITY_MODEL, input width 226) with per-step batch assembly +
+host->device upload included (the trainer's real stage() path) — plus a
+``detail`` dict with the full {parity-compute, quality-compute,
+quality-staging} triple and ``vs_r03`` regression ratios against the round-3
+recorded values (VERDICT r3 weak #3/#5: the compute-only parity model was the
+official number for three rounds while users train the quality presets).
 
-Prints ONE JSON line:
+``--quality`` / ``--staging`` / ``--parity-only`` select a single
+measurement instead (same output shape as earlier rounds).
+
     {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
-     "vs_baseline": R}
-(--quality/--staging/--mfu add detail keys: mfu_matmul, config, staging.)
+     "vs_baseline": R, "detail": {...}}
 
 ``vs_baseline`` compares against the PyTorch reference's measured training
 throughput (BASELINE_MEASURED.json — the reference publishes no numbers, so we
@@ -103,6 +106,9 @@ def main():
     ap.add_argument("--mode", default="train", choices=["train", "render"],
                     help="render: deterministic render_image throughput "
                          "(the eval/video serving path) instead of training")
+    ap.add_argument("--parity-only", action="store_true",
+                    help="single measurement of the parity model, compute "
+                         "only (the r01-r03 headline), instead of the triple")
     args = ap.parse_args()
 
     if args.mode == "render":
@@ -118,95 +124,130 @@ def main():
     from mipnerf360_tpu.train.step import make_train_loop
 
     n_dev = len(jax.devices())
-    model_kw = dict(remat=args.remat, use_pallas=args.pallas)
-    if args.quality:
-        model_kw.update(QUALITY_MODEL)
-    cfg = Config(
-        model=ModelConfig(**model_kw),
-        train=TrainConfig(batch_size=args.batch, cadence="joint"),
-        data=DataConfig(),
-        mesh=MeshConfig(data=n_dev, model=1),
-    )
+    mesh = make_mesh(n_dev, 1)
 
-    mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
-    state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
-    state = state._replace(params=shard_params(mesh, state.params))
+    def measure(quality: bool, staging: bool) -> float:
+        """Rays/s/chip of one (model, data-path) combination.
 
-    rays_np = dummy_rays(args.batch)
-    pixels_np = np.random.default_rng(0).uniform(
-        0, 1, (args.batch, 3)).astype(np.float32)
+        K steps fused into one XLA program (lax.scan): one dispatch per
+        measurement, so per-call host/tunnel overhead (seconds over the
+        remote axon tunnel) cannot masquerade as step time either way.
+        """
+        model_kw = dict(remat=args.remat, use_pallas=args.pallas)
+        if quality:
+            model_kw.update(QUALITY_MODEL)
+        cfg = Config(
+            model=ModelConfig(**model_kw),
+            train=TrainConfig(batch_size=args.batch, cadence="joint"),
+            data=DataConfig(),
+            mesh=MeshConfig(data=n_dev, model=1),
+        )
+        state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        state = state._replace(params=shard_params(mesh, state.params))
+        loop_fn = make_train_loop(cfg, mesh, donate=True)
 
-    # K steps fused into one XLA program (lax.scan): one dispatch per
-    # measurement, so per-call host/tunnel overhead (seconds over the remote
-    # axon tunnel) cannot masquerade as step time in either direction.
-    loop_fn = make_train_loop(cfg, mesh, donate=True)
+        if staging:
+            # End-to-end: fresh per-step batches assembled by the native
+            # sampler over the synthetic scene + host->device upload inside
+            # the measured region (the trainer's stage(), train/trainer.py).
+            from mipnerf360_tpu.data import get_dataset
 
-    if args.staging:
-        # End-to-end mode: fresh per-step batches assembled by the native
-        # sampler over the synthetic scene + host->device upload inside the
-        # measured region (the trainer's stage(), train/trainer.py).
-        from mipnerf360_tpu.data import get_dataset
+            dataset = get_dataset(cfg.data, "train")
 
-        dataset = get_dataset(cfg.data, "train")
+            def make_batch(step0: int):
+                r, p = dataset.batch_stack(args.steps, args.batch, 0, step0)
+                return shard_batch_stack(mesh, r, p)
+        else:
+            # Compute-only: ONE broadcast batch uploaded once, reused every
+            # call (fresh-ray HBM traffic excluded).
+            rays_np = dummy_rays(args.batch)
+            pixels_np = np.random.default_rng(0).uniform(
+                0, 1, (args.batch, 3)).astype(np.float32)
+            stack = lambda x: np.broadcast_to(x[None], (args.steps,) + x.shape)
+            rays_s, pix_s = shard_batch_stack(
+                mesh, rays_map(stack, rays_np), stack(pixels_np))
 
-        def make_batch(step0: int):
-            r, p = dataset.batch_stack(args.steps, args.batch, 0, step0)
-            return shard_batch_stack(mesh, r, p)
-    else:
-        # Default mode: ONE broadcast batch uploaded once, reused every call
-        # (compute-only measurement; fresh-ray HBM traffic excluded).
-        stack = lambda x: np.broadcast_to(x[None], (args.steps,) + x.shape)
-        rays_s, pix_s = shard_batch_stack(
-            mesh, rays_map(stack, rays_np), stack(pixels_np))
+            def make_batch(step0: int):
+                return rays_s, pix_s
 
-        def make_batch(step0: int):
-            return rays_s, pix_s
+        # Warmup: full-length calls (same scan length -> one compile).
+        # Measured on the axon remote runtime: call 1 compiles, call 2 is
+        # ~10x slower than steady state (runtime-internal lazy setup), call
+        # 3+ are steady — at least 2 warmup calls required for an honest
+        # reading. A scalar device_get is the sync barrier: on the remote
+        # axon platform block_until_ready alone does not guarantee execution
+        # finished.
+        for i in range(max(2, args.warmup)):
+            state, aux = loop_fn(state, *make_batch(i * args.steps))
+            float(jax.device_get(aux["loss"][-1]))
 
-    # Warmup: full-length calls (same scan length -> one compile). Measured
-    # on the axon remote runtime: call 1 compiles, call 2 is ~10x slower than
-    # steady state (runtime-internal lazy setup), call 3+ are steady — so at
-    # least 2 warmup calls are required for an honest reading.
-    # NOTE: a scalar device_get is the sync barrier — on the remote axon
-    # platform block_until_ready alone does not guarantee execution finished.
-    for i in range(max(2, args.warmup)):
-        state, aux = loop_fn(state, *make_batch(i * args.steps))
-        float(jax.device_get(aux["loss"][-1]))
+        t0 = time.perf_counter()
+        state, aux = loop_fn(state, *make_batch(1000 * args.steps))
+        final_loss = float(jax.device_get(aux["loss"][-1]))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(final_loss)
+        return args.steps * args.batch / dt / n_dev, cfg
 
-    t0 = time.perf_counter()
-    state, aux = loop_fn(state, *make_batch(1000 * args.steps))
-    final_loss = float(jax.device_get(aux["loss"][-1]))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(final_loss)
+    def vs_ref(rays_per_sec_per_chip: float):
+        baseline_path = os.path.join(os.path.dirname(__file__) or ".",
+                                     "BASELINE_MEASURED.json")
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                ref = json.load(f)
+            ref_rays = ref.get("reference_train_rays_per_sec")
+            if ref_rays:
+                return round(rays_per_sec_per_chip / ref_rays, 2)
+        return None
 
-    rays_per_sec = args.steps * args.batch / dt
-    rays_per_sec_per_chip = rays_per_sec / n_dev
+    single = args.quality or args.staging or args.parity_only
+    if single:
+        rps, cfg = measure(args.quality, args.staging)
+        out = {
+            "metric": "train_rays_per_sec_per_chip",
+            "value": round(rps, 1),
+            "unit": "rays/s",
+            "vs_baseline": vs_ref(rps),
+        }
+        if args.quality or args.staging or args.mfu:
+            # 3x forward matmul FLOPs per train step (fwd + dgrad + wgrad).
+            tflops = 3.0 * matmul_flops_per_ray(cfg.model) * rps / 1e12
+            out.update({
+                "config": ("quality (input %d)" if args.quality
+                           else "parity (input %d)") % cfg.model.input_dim,
+                "staging": bool(args.staging),
+                "matmul_tflops_per_chip": round(tflops, 1),
+                "mfu_matmul": round(tflops / PEAK_TFLOPS_BF16, 3),
+            })
+        print(json.dumps(out))
+        return
 
-    baseline_path = os.path.join(os.path.dirname(__file__) or ".",
-                                 "BASELINE_MEASURED.json")
-    vs_baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            ref = json.load(f)
-        ref_rays = ref.get("reference_train_rays_per_sec")
-        if ref_rays:
-            vs_baseline = rays_per_sec_per_chip / ref_rays
-
+    # Default: the {parity-compute, quality-compute, quality-staging} triple.
+    # Headline = quality + staging (what a user training the quality presets
+    # end-to-end actually gets; matches the live trainer's logged rays/s).
+    parity_rps, _ = measure(quality=False, staging=False)
+    quality_rps, qcfg = measure(quality=True, staging=False)
+    e2e_rps, _ = measure(quality=True, staging=True)
+    tflops = 3.0 * matmul_flops_per_ray(qcfg.model) * e2e_rps / 1e12
+    # Round-3 recorded values for regression tracking (BENCH_r03.json +
+    # PROFILE_r3.json): parity-compute 49,842; quality-compute 47,800;
+    # parity-staging 44,900. quality-staging had no recorded r03 row.
+    r03 = {"parity_compute": 49842.0, "quality_compute": 47800.0}
     out = {
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec_per_chip, 1),
+        "value": round(e2e_rps, 1),
         "unit": "rays/s",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "vs_baseline": vs_ref(e2e_rps),
+        "detail": {
+            "headline": "quality model, end-to-end staging",
+            "parity_compute": round(parity_rps, 1),
+            "quality_compute": round(quality_rps, 1),
+            "quality_staging": round(e2e_rps, 1),
+            "mfu_matmul_headline": round(tflops / PEAK_TFLOPS_BF16, 3),
+            "vs_r03": {k: round(
+                (parity_rps if k == "parity_compute" else quality_rps) / v, 3)
+                for k, v in r03.items()},
+        },
     }
-    if args.quality or args.staging or args.mfu:
-        # 3x forward matmul FLOPs per train step (fwd + dgrad + wgrad).
-        tflops = 3.0 * matmul_flops_per_ray(cfg.model) * rays_per_sec_per_chip / 1e12
-        out.update({
-            "config": ("quality (input %d)" if args.quality
-                       else "parity (input %d)") % cfg.model.input_dim,
-            "staging": bool(args.staging),
-            "matmul_tflops_per_chip": round(tflops, 1),
-            "mfu_matmul": round(tflops / PEAK_TFLOPS_BF16, 3),
-        })
     print(json.dumps(out))
 
 

@@ -39,6 +39,12 @@ class ModelConfig:
     # a Sigmoid on the last trunk layer and on the raw-density head.
     trunk_final_sigmoid: bool = True
     density_head_sigmoid: bool = True
+    # Quirk-exact ablation flag (default OFF even in parity presets): the
+    # reference's inverse-CDF draw is ``u = 2u + noise`` (ray.py:33, a typo
+    # for stratified u + noise) which clamps ~half the fine samples into the
+    # last CDF interval. Used by tools/parity_psnr.py --mode ablate to
+    # attribute the equal-iteration train-PSNR gap.
+    resample_u_typo: bool = False
     compute_dtype: str = "bfloat16"  # matmul dtype; params/accumulation stay f32
     # Fused Pallas TPU kernels for the transmittance scan and inverse-CDF
     # resample (ops/pallas/). "auto": on when running on a TPU backend;
@@ -52,6 +58,13 @@ class ModelConfig:
     # [B, N, 3, 3] tensors. Numerically equivalent to the general path
     # (tests/test_fused_encode.py); "off" falls back to cast_rays + IPE.
     factored_encode: bool = True
+    # Sample-axis (CP) compositing in render_image: shard the NeRF level's
+    # samples-per-ray axis over this many devices on the mesh "model" axis
+    # (parallel/sample_axis.py — exact cross-shard transmittance via
+    # all_gather + psum). 1 = off (the default and the right answer at sane
+    # sample counts: tools/sample_axis_bench.py measures the crossover).
+    # Intended for huge samples-per-ray render tiles (SURVEY §2.2).
+    sample_shards: int = 1
 
     @property
     def input_dim(self) -> int:
@@ -91,6 +104,12 @@ class TrainConfig:
     # fused update of all losses per step (the paper's cadence; ~3x faster).
     cadence: str = "joint"
     prop_inner_steps: int = 2
+    # Quirk-exact ablation flag: reproduce the reference's batch-collapsed
+    # distillation bound (distillation.py:27-29 — boolean-mask indexing
+    # flattens batch+sample dims, so each bound becomes the SUM of all rays'
+    # per-ray bounds, broadcast back to every ray). Default OFF: the per-ray
+    # bound is the intended semantics.
+    quirk_collapsed_bounds: bool = False
     randomized: bool = True
     seed: int = 0
     save_every: int = 1000

@@ -8,7 +8,9 @@ that maps onto the VPU (no sorting, no dynamic shapes).
 
 Known reference quirk fixed consciously (SURVEY.md §2.1 micro-quirks): its
 randomized branch draws ``u = 2*u + noise`` (ray.py:33) — a typo for stratified
-``u + noise``; we implement correct stratified samples.
+``u + noise``; we implement correct stratified samples by default, with the
+typo reproducible behind ``u_typo=True`` (ModelConfig.resample_u_typo) for
+quirk-exact parity ablations.
 """
 from __future__ import annotations
 
@@ -21,11 +23,17 @@ _F32_EPS = jnp.finfo(jnp.float32).eps
 
 
 def sorted_piecewise_constant_pdf(key, bins, weights, num_samples: int,
-                                  randomized: bool):
+                                  randomized: bool, u_typo: bool = False):
     """Draw samples from the piecewise-constant PDF defined by (bins, weights).
 
     bins: [..., N+1] sorted edges; weights: [..., N] non-negative.
     Returns samples [..., num_samples], sorted ascending.
+
+    ``u_typo=True`` reproduces the reference's ``u = u + u + noise`` quirk
+    (ray.py:33) EXACTLY for ablation studies: u = min(2*base + noise, 1-eps),
+    which clamps the upper half of the stratified grid to 1-eps so ~half the
+    fine samples pile into the last CDF interval. Default is the correct
+    stratified draw.
     """
     # Pad so near-zero weight vectors still define a valid PDF (ray.py:15-19).
     eps = 1e-5
@@ -46,7 +54,8 @@ def sorted_piecewise_constant_pdf(key, bins, weights, num_samples: int,
         noise = jax.random.uniform(
             key, cdf.shape[:-1] + (num_samples,), dtype=cdf.dtype,
             minval=0.0, maxval=s - _F32_EPS)
-        u = jnp.minimum(base + noise, 1.0 - _F32_EPS)
+        u = jnp.minimum((base + base if u_typo else base) + noise,
+                        1.0 - _F32_EPS)
     else:
         u = jnp.linspace(0.0, 1.0 - _F32_EPS, num_samples, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
@@ -99,14 +108,15 @@ def blur_weights(weights):
 
 
 def resample_along_rays(key, t_vals, weights, randomized: bool,
-                        resample_padding: float):
+                        resample_padding: float, u_typo: bool = False):
     """Hierarchical resampling of ``t_vals.shape[-1]`` new edges (ray.py:118-153).
 
     The weight histogram is blurred, padded, and inverse-CDF sampled. The whole
     op is wrapped in stop_gradient: sampling locations carry no gradients,
-    matching the reference's ``torch.no_grad()`` block.
+    matching the reference's ``torch.no_grad()`` block. ``u_typo`` forwards the
+    quirk-exact ablation flag (see sorted_piecewise_constant_pdf).
     """
     w = blur_weights(weights) + resample_padding
     new_t = sorted_piecewise_constant_pdf(
-        key, t_vals, w, t_vals.shape[-1], randomized)
+        key, t_vals, w, t_vals.shape[-1], randomized, u_typo=u_typo)
     return jax.lax.stop_gradient(new_t)

@@ -117,7 +117,16 @@ def proposal_loss(w_coarse, bounds, eps: float = 1e-6):
     return jnp.sum(hinge**2 / (w_coarse + eps)) / batch
 
 
-def distillation_loss(t_fine, w_fine, t_coarse, w_coarse):
-    """bounds + hinge in one call (loss facade, reference loss.py:6-21)."""
+def distillation_loss(t_fine, w_fine, t_coarse, w_coarse,
+                      collapsed: bool = False):
+    """bounds + hinge in one call (loss facade, reference loss.py:6-21).
+
+    ``collapsed=True`` reproduces the reference's batch-collapse quirk
+    (distillation.py:27-29): its boolean-mask indexing flattens batch+sample
+    dims, so each bound is the SUM of every ray's per-ray bound, broadcast
+    back to all rays. Kept for quirk-exact parity ablations; default is the
+    intended per-ray bound."""
     b = weight_bounds(t_fine, w_fine, t_coarse)
-    return proposal_loss(w_coarse, b)
+    if collapsed:
+        b = jnp.sum(b, axis=0, keepdims=True)
+    return proposal_loss(w_coarse, jnp.broadcast_to(b, w_coarse.shape))

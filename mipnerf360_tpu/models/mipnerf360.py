@@ -101,11 +101,18 @@ def prop_forward(params: Params, cfg: ModelConfig, rays: Rays, key,
 
 
 def nerf_forward(params: Params, cfg: ModelConfig, rays: Rays, t_vals, weights,
-                 key, randomized: bool):
+                 key, randomized: bool, composite_fn=None):
     """NeRF level: resample -> encode -> trunk -> heads -> composite
-    (model.py:163-200)."""
+    (model.py:163-200).
+
+    ``composite_fn`` (optional) replaces the single-device transmittance +
+    composite with a mesh-aware one — the sample-axis (CP) path built by
+    parallel/sample_axis.make_sample_sharded_composite, reachable via
+    ``ModelConfig.sample_shards`` in render_image. Signature:
+    (rgb, density, t_vals, dirs) -> (comp_rgb, distance, acc, weights)."""
     new_t = fused.resample_along_rays(key, t_vals, weights, randomized,
-                                      cfg.resample_padding, cfg.use_pallas)
+                                      cfg.resample_padding, cfg.use_pallas,
+                                      u_typo=cfg.resample_u_typo)
     x = _encode(cfg, rays, new_t)
     dt = _compute_dtype(cfg)
 
@@ -123,10 +130,14 @@ def nerf_forward(params: Params, cfg: ModelConfig, rays: Rays, t_vals, weights,
 
     rgb = raw_rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
     density = jax.nn.softplus(raw_density[..., 0] + cfg.density_bias)
-    w = fused.compute_alpha_weights(
-        density, new_t, rays.directions, cfg.use_pallas)
-    comp_rgb, distance, acc = composite_outputs(
-        rgb, w, new_t, cfg.white_bkgd)
+    if composite_fn is not None:
+        comp_rgb, distance, acc, w = composite_fn(
+            rgb, density, new_t, rays.directions)
+    else:
+        w = fused.compute_alpha_weights(
+            density, new_t, rays.directions, cfg.use_pallas)
+        comp_rgb, distance, acc = composite_outputs(
+            rgb, w, new_t, cfg.white_bkgd)
     s_vals = t_to_s(new_t, rays.near, rays.far)
     return {
         "rgb": comp_rgb,
@@ -139,12 +150,14 @@ def nerf_forward(params: Params, cfg: ModelConfig, rays: Rays, t_vals, weights,
 
 
 def render_rays(params: Params, cfg: ModelConfig, rays: Rays, key,
-                randomized: bool):
+                randomized: bool, composite_fn=None):
     """Full two-level forward (model.py:247-252), returning both levels'
-    internals for the losses."""
+    internals for the losses. ``composite_fn`` applies to the NeRF level only
+    (the proposal level's weights feed resampling and stay per-device)."""
     k1, k2 = jax.random.split(key)
     t_prop, w_prop = prop_forward(params, cfg, rays, k1, randomized)
-    out = nerf_forward(params, cfg, rays, t_prop, w_prop, k2, randomized)
+    out = nerf_forward(params, cfg, rays, t_prop, w_prop, k2, randomized,
+                       composite_fn=composite_fn)
     out["t_prop"] = t_prop
     out["w_prop"] = w_prop
     return out
@@ -162,6 +175,18 @@ def render_image(params: Params, cfg: ModelConfig, rays: Rays, *,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if cfg.sample_shards > 1:
+        # Sample-axis (CP) compositing: the NeRF-level transmittance scan is
+        # decomposed over `sample_shards` devices on the mesh "model" axis
+        # (parallel/sample_axis.py); remaining devices do ray-batch DP. The
+        # use-case is huge samples-per-ray render tiles (SURVEY §2.2); see
+        # tools/sample_axis_bench.py for the measured crossover.
+        from ..parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        assert n_dev % cfg.sample_shards == 0, (n_dev, cfg.sample_shards)
+        if mesh is None or mesh.shape.get("model", 1) != cfg.sample_shards:
+            mesh = make_mesh(n_dev // cfg.sample_shards, cfg.sample_shards)
     if mesh is not None:
         n_data = mesh.shape["data"]
         chunk = -(-chunk // n_data) * n_data
@@ -179,20 +204,32 @@ def render_image(params: Params, cfg: ModelConfig, rays: Rays, *,
         sh = NamedSharding(mesh, P(None, "data"))
         chunked = rays_map(lambda x: jax.device_put(x, sh), chunked)
 
-    rgb, distance, acc = _render_map_fn(cfg)(params, chunked, key)
+    sample_mesh = mesh if cfg.sample_shards > 1 else None
+    rgb, distance, acc = _render_map_fn(cfg, sample_mesh)(params, chunked, key)
     return (rgb.reshape(-1, 3)[:n], distance.reshape(-1)[:n], acc.reshape(-1)[:n])
 
 
-@functools.lru_cache(maxsize=None)  # ModelConfig is frozen/hashable
-def _render_map_fn(cfg: ModelConfig):
+@functools.lru_cache(maxsize=None)  # ModelConfig and Mesh are hashable
+def _render_map_fn(cfg: ModelConfig, sample_mesh=None):
     """One jitted program for the whole chunked render. An eager-level
     lax.map re-dispatches per call and measured 10-20x slower than the same
-    computation under jit on the remote TPU runtime (173k vs ~15k rays/s)."""
+    computation under jit on the remote TPU runtime (173k vs ~15k rays/s).
+
+    ``sample_mesh``: when ModelConfig.sample_shards > 1, the mesh whose
+    "model" axis carries the sample-sharded composite."""
+    composite_fn = None
+    if sample_mesh is not None:
+        from ..parallel.sample_axis import make_sample_sharded_composite
+
+        composite_fn = make_sample_sharded_composite(
+            sample_mesh, "model", cfg.white_bkgd,
+            batch_axis="data" if sample_mesh.shape["data"] > 1 else None)
 
     @jax.jit
     def fn(params, chunked_rays, key):
         def render_chunk(chunk_rays):
-            out = render_rays(params, cfg, chunk_rays, key, randomized=False)
+            out = render_rays(params, cfg, chunk_rays, key, randomized=False,
+                              composite_fn=composite_fn)
             return out["rgb"], out["distance"], out["acc"]
 
         return jax.lax.map(render_chunk, chunked_rays)

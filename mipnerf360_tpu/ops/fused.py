@@ -36,7 +36,8 @@ def compute_alpha_weights(density, t_vals, dirs, mode: str = "auto"):
 
 
 def resample_along_rays(key, t_vals, weights, randomized: bool,
-                        resample_padding: float, mode: str = "auto"):
+                        resample_padding: float, mode: str = "auto",
+                        u_typo: bool = False):
     """Blur + inverse-CDF resampling (core/sampling.py:resample_along_rays).
 
     Always the jnp path — there is deliberately NO Pallas kernel here. A
@@ -51,4 +52,4 @@ def resample_along_rays(key, t_vals, weights, randomized: bool,
     """
     del mode
     return sampling.resample_along_rays(key, t_vals, weights, randomized,
-                                        resample_padding)
+                                        resample_padding, u_typo=u_typo)

@@ -56,7 +56,8 @@ def _composite_local(density, rgb, t_dists, t_mids, dirs, axis_name):
 
 
 def make_sample_sharded_composite(mesh: Mesh, axis: str = "model",
-                                  white_bkgd: bool = False):
+                                  white_bkgd: bool = False,
+                                  batch_axis: str = None):
     """Build ``fn(rgb, density, t_vals, dirs) -> (rgb, distance, acc, weights)``
     with the sample axis sharded over ``mesh`` axis ``axis``.
 
@@ -64,15 +65,21 @@ def make_sample_sharded_composite(mesh: Mesh, axis: str = "model",
     see tests/test_parallel.py. t_vals: [B, N+1] replicated (edges are tiny);
     rgb [B, N, 3] / density [B, N] sharded on the sample dim; weights come
     back sharded on the sample dim, scalars replicated.
+
+    ``batch_axis`` additionally shards the ray-batch dim over that mesh axis
+    (composes sample-axis CP with ray-batch DP — used by render_image when
+    ``ModelConfig.sample_shards`` > 1 on a multi-device mesh); the sample-axis
+    collectives then run independently per batch shard.
     """
     n_shards = mesh.shape[axis]
+    b = batch_axis
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis), P(None, axis),
-                  P(None, axis), P(None, None)),
-        out_specs=(P(None, None), P(None, axis)),
+        in_specs=(P(b, axis, None), P(b, axis), P(b, axis),
+                  P(b, axis), P(b, None)),
+        out_specs=(P(b, None), P(b, axis)),
         check_vma=False,
     )
     def sharded(rgb, density, t_dists, t_mids, dirs):

@@ -61,7 +61,8 @@ def _prop_phase(params, opt, opt_state, model_cfg, train_cfg, rays, key,
         t_prop, w_prop, out = _forward_both(p, model_cfg, rays, key, randomized)
         t = jax.lax.stop_gradient(out["t_vals"])
         w = jax.lax.stop_gradient(out["weights"])
-        return distillation_loss(t, w, t_prop, w_prop)
+        return distillation_loss(t, w, t_prop, w_prop,
+                                 collapsed=train_cfg.quirk_collapsed_bounds)
 
     loss, grads = jax.value_and_grad(loss_fn)(params["prop"])
     lr = _lr(train_cfg, sched_count)
@@ -148,7 +149,8 @@ def joint_cadence_step(cfg: Config, state: TrainState, rays: Rays,
         loss_prop = distillation_loss(
             jax.lax.stop_gradient(out["t_vals"]),
             jax.lax.stop_gradient(out["weights"]),
-            t_prop, w_prop)
+            t_prop, w_prop,
+            collapsed=cfg.train.quirk_collapsed_bounds)
         total = (loss_nerf + cfg.train.dist_loss_weight * loss_dist + loss_prop)
         return total, {"psnr": psnr, "loss_nerf": loss_nerf,
                        "loss_dist": loss_dist, "loss_prop": loss_prop}

@@ -99,25 +99,55 @@ class TestDistillation:
         np.testing.assert_allclose(banded, oracle, rtol=1e-5, atol=1e-6)
 
     def test_weight_bounds_dispatch(self):
-        """The production wrapper uses the MXU einsum at flagship sizes and
-        switches to the banded form above the pairs threshold (measured
-        -31% end-to-end for banded-everywhere; distillation.py)."""
+        """The production wrapper uses the MXU einsum while the [.., Nc, Nf]
+        overlap transient fits the HBM byte budget — batch dims INCLUDED
+        (advisor r3: a per-ray-pair threshold let a ~4 GiB transient through
+        at B=4096, Nc=Nf=512) — and the banded form above it."""
         from mipnerf360_tpu.losses import distillation as d
 
         calls = []
         orig_e, orig_b = d.weight_bounds_einsum, d.weight_bounds_banded
-        d.weight_bounds_einsum = lambda *a: calls.append("einsum") or orig_e(*a)
-        d.weight_bounds_banded = lambda *a: calls.append("banded") or orig_b(*a)
+        d.weight_bounds_einsum = lambda *a: calls.append("einsum")
+        d.weight_bounds_banded = lambda *a: calls.append("banded")
         try:
-            t64 = jnp.linspace(1, 6, 65)[None]
-            w64 = jnp.ones((1, 64)) * 0.01
-            d.weight_bounds(t64, w64, t64)
-            tbig = jnp.linspace(1, 6, 1025)[None]
-            wbig = jnp.ones((1, 1024)) * 0.001
-            d.weight_bounds(tbig, wbig, tbig)
+            def dispatch(batch, n):
+                t = jnp.linspace(1, 6, n + 1)[None].repeat(batch, 0)
+                w = jnp.ones((batch, n), jnp.float32) * 0.01
+                d.weight_bounds(t, w, t)
+
+            dispatch(4096, 64)    # flagship: 64 MiB transient -> einsum
+            dispatch(1, 1024)     # big-N, tiny batch: 4 MiB -> still einsum
+            dispatch(4096, 512)   # 4 GiB transient -> banded
         finally:
             d.weight_bounds_einsum, d.weight_bounds_banded = orig_e, orig_b
-        assert calls == ["einsum", "banded"], calls
+        assert calls == ["einsum", "einsum", "banded"], calls
+
+    def test_collapsed_quirk_matches_reference_loop_semantics(self):
+        """collapsed=True must reproduce the reference's batch-collapse
+        (distillation.py:27-29) EXACTLY: each bound is the sum over the WHOLE
+        batch of the per-ray overlap sums, broadcast to every ray."""
+        from mipnerf360_tpu.losses.distillation import (distillation_loss,
+                                                        proposal_loss)
+
+        rng = np.random.default_rng(3)
+        B, N = 5, 12
+        t_f = np.sort(rng.uniform(1, 6, (B, N + 1)).astype(np.float32), -1)
+        t_c = np.sort(rng.uniform(1, 6, (B, N + 1)).astype(np.float32), -1)
+        w_f = rng.uniform(0, 0.2, (B, N)).astype(np.float32)
+        w_c = rng.uniform(0, 0.2, (B, N)).astype(np.float32)
+        # reference-semantics oracle: B[i] = sum_b sum_j overlap(b,j,i) w[b,j]
+        collapsed_oracle = _naive_bounds(t_f, w_f, t_c).sum(0, keepdims=True)
+        want = proposal_loss(jnp.asarray(w_c),
+                             jnp.broadcast_to(jnp.asarray(collapsed_oracle),
+                                              w_c.shape))
+        got = distillation_loss(jnp.asarray(t_f), jnp.asarray(w_f),
+                                jnp.asarray(t_c), jnp.asarray(w_c),
+                                collapsed=True)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        # and differs from the per-ray default
+        per_ray = distillation_loss(jnp.asarray(t_f), jnp.asarray(w_f),
+                                    jnp.asarray(t_c), jnp.asarray(w_c))
+        assert float(got) != float(per_ray)
 
     def test_banded_disjoint_grids_zero(self):
         """Coarse intervals entirely outside the fine grid bound to zero."""

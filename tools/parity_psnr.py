@@ -34,12 +34,13 @@ def export_blender_scene(out_dir: str, res: int, n_train: int = 28,
     from PIL import Image
 
     from mipnerf360_tpu.data.rays_gen import pinhole_rays
-    from mipnerf360_tpu.data.synthetic import _orbit_poses, _shade_sphere
+    from mipnerf360_tpu.data.synthetic import (_orbit_poses_at, _shade_sphere,
+                                               _train_angles)
 
     focal = 0.9 * res
     angle_x = 2.0 * np.arctan(0.5 * res / focal)
     n_total = n_train + n_test
-    all_poses = _orbit_poses(n_total)
+    all_poses = _orbit_poses_at(_train_angles(n_total))
     # Interleaved holdout (every n_total/n_test-th view), matching the
     # reference's every-8th LLFF convention (dataset.py:271-283). A
     # contiguous tail split would hold out azimuths training never sees,
@@ -48,7 +49,11 @@ def export_blender_scene(out_dir: str, res: int, n_train: int = 28,
                                endpoint=False).astype(int).tolist())
     train_idx = [i for i in range(n_total) if i not in test_idx]
     splits = {"train": all_poses[train_idx],
-              "test": all_poses[sorted(test_idx)]}
+              "test": all_poses[sorted(test_idx)],
+              # the reference's test.py renders split="visualize"
+              # (dataset.py:22-24); mirror the test split under that name so
+              # its own image-eval pipeline runs unchanged
+              "visualize": all_poses[sorted(test_idx)]}
     for split, poses in splits.items():
         os.makedirs(os.path.join(out_dir, split), exist_ok=True)
         rays = pinhole_rays(poses, res, res, focal, 2.0, 6.0)
@@ -81,11 +86,14 @@ def parse_reference_log(log_path: str):
     return train_psnr, eval_psnr
 
 
-def run_reference(scene_dir: str, steps: int, workdir: str):
+def run_reference(scene_dir: str, steps: int, workdir: str,
+                  save_every: int = 0):
     """Run /root/reference/train.py on CPU; parse PSNR prints.
 
     Output streams to <workdir>/ref.log so a cut-short run (CPU-hours per 1k
     steps) still yields a parseable partial trajectory via --mode ref-parse.
+    ``save_every`` > 0 keeps intermediate model_<step>.pt checkpoints (plus
+    the final model.pt) for the reference-side IMAGE eval; 0 disables saving.
     """
     data_root = os.path.join(workdir, "data", "nerf_synthetic")
     os.makedirs(data_root, exist_ok=True)
@@ -100,7 +108,7 @@ def run_reference(scene_dir: str, steps: int, workdir: str):
             [sys.executable, os.path.join(REFERENCE, "train.py"),
              "--dataset_name", "blender", "--scene", "parity", "--factor", "1",
              "--device", "cpu", "--max_steps", str(steps),
-             "--save_every", str(10 * steps),  # effectively disable torch.save
+             "--save_every", str(save_every if save_every else 10 * steps),
              "--log_dir", log_dir],
             cwd=workdir, stdout=logf, stderr=subprocess.STDOUT,
             timeout=6 * 3600)
@@ -112,9 +120,46 @@ def run_reference(scene_dir: str, steps: int, workdir: str):
     return train_psnr, eval_psnr, wall
 
 
+def reference_checkpoints(workdir: str, steps: int) -> dict:
+    """Map step -> saved reference checkpoint path (model_<N>.pt + final
+    model.pt written at max_steps, train.py:98-103)."""
+    log_dir = os.path.join(workdir, "log")
+    out = {}
+    if not os.path.isdir(log_dir):
+        return out
+    for f in os.listdir(log_dir):
+        m = re.match(r"^model_(\d+)\.pt$", f)
+        if m:
+            out[int(m.group(1))] = os.path.join(log_dir, f)
+    final = os.path.join(log_dir, "model.pt")
+    if os.path.exists(final):
+        out[steps] = final
+    return out
+
+
+def eval_reference_images(scene_dir: str, workdir: str, steps: int) -> dict:
+    """Image-level PSNR/SSIM of the reference's saved checkpoints, rendered
+    by its OWN pipeline in a subprocess (tools/_ref_image_eval.py). Returns
+    {step: {image_psnr, per_view_psnr, image_psnr_sum_quirk, image_ssim}}."""
+    ckpts = reference_checkpoints(workdir, steps)
+    if not ckpts:
+        return {}
+    ckpts_json = os.path.join(workdir, "ref_ckpts.json")
+    out_json = os.path.join(workdir, "ref_image_eval.json")
+    with open(ckpts_json, "w") as f:
+        json.dump({str(k): v for k, v in ckpts.items()}, f)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "_ref_image_eval.py"),
+         scene_dir, ckpts_json, out_json],
+        check=True, timeout=4 * 3600)
+    with open(out_json) as f:
+        return {int(k): v for k, v in json.load(f).items()}
+
+
 def _ours_cfg(scene_dir: str, steps: int, ckpt_dir: str, *,
               cadence: str = "reference", batch_size: int = 64,
-              eval_image_every: int = 0, quality: bool = False):
+              eval_image_every: int = 0, quality: bool = False,
+              extra_model: dict = None, extra_train: dict = None):
     from mipnerf360_tpu.config import QUALITY_MODEL, QUALITY_TRAIN, get_config
 
     # quality=True applies the QUALITY_MODEL/QUALITY_TRAIN overrides from
@@ -126,6 +171,8 @@ def _ours_cfg(scene_dir: str, steps: int, ckpt_dir: str, *,
     if quality:
         model.update(QUALITY_MODEL)
         train_extra = dict(QUALITY_TRAIN)
+    model.update(extra_model or {})
+    train_extra.update(extra_train or {})
     return get_config(
         model=model,
         train=dict(max_steps=steps, batch_size=batch_size, cadence=cadence,
@@ -157,14 +204,55 @@ def eval_checkpoint_views(cfg, which) -> dict:
     return out
 
 
+def train_psnr_probe(cfg, n_batches: int = 8) -> dict:
+    """Decompose the train-batch PSNR metric at the FINAL checkpoint: render
+    fixed train batches with stochastic sampling ON (what the in-training
+    train/avg_psnr measures) vs OFF (the model's actual fit). A large gap
+    means the logged train PSNR under-reports fit because of sampling noise,
+    not because the model is worse."""
+    import jax
+
+    from mipnerf360_tpu.data import get_dataset
+    from mipnerf360_tpu.losses.photometric import photometric_loss
+    from mipnerf360_tpu.models.mipnerf360 import render_rays
+    from mipnerf360_tpu.train.checkpoint import restore_checkpoint
+    from mipnerf360_tpu.train.state import abstract_train_state
+
+    template = abstract_train_state(
+        jax.random.PRNGKey(cfg.train.seed), cfg.model, cfg.train)
+    state = restore_checkpoint(cfg.train.checkpoint_dir, template)
+    ds = get_dataset(cfg.data, "train")
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def psnr_fn(params, rays, pixels, key, randomized):
+        out = render_rays(params, cfg.model, rays, key, randomized=randomized)
+        _, psnr = photometric_loss(out["rgb"], pixels)
+        return psnr
+
+    batches = ds.batches(cfg.train.batch_size, seed=cfg.train.seed + 2)
+    on, off = [], []
+    for i in range(n_batches):
+        rays_np, pix_np = next(batches)
+        key = jax.random.PRNGKey(100 + i)
+        on.append(float(psnr_fn(state.params, rays_np, pix_np, key, True)))
+        off.append(float(psnr_fn(state.params, rays_np, pix_np, key, False)))
+    return {"train_psnr_randomized": round(float(np.mean(on)), 3),
+            "train_psnr_deterministic": round(float(np.mean(off)), 3),
+            "n_batches": n_batches}
+
+
 def run_ours(scene_dir: str, steps: int, ckpt_dir: str, *,
              cadence: str = "reference", batch_size: int = 64,
-             eval_image_every: int = 0, quality: bool = False):
+             eval_image_every: int = 0, quality: bool = False,
+             extra_model: dict = None, extra_train: dict = None):
     from mipnerf360_tpu.train.trainer import train
 
     cfg = _ours_cfg(scene_dir, steps, ckpt_dir, cadence=cadence,
                     batch_size=batch_size, eval_image_every=eval_image_every,
-                    quality=quality)
+                    quality=quality, extra_model=extra_model,
+                    extra_train=extra_train)
     t0 = time.time()
     train(cfg)
     wall = time.time() - t0
@@ -213,7 +301,8 @@ def main():
                     help="convergence-mode ray batch (flagship operating "
                          "point; parity mode always uses the reference's 64)")
     ap.add_argument("--mode",
-                    choices=["parity", "convergence", "ref-only", "ref-parse"],
+                    choices=["parity", "convergence", "ref-only", "ref-parse",
+                             "ablate"],
                     default="parity",
                     help="parity: equal-iteration reference comparison "
                          "(reference cadence, batch 64, both frameworks). "
@@ -224,7 +313,19 @@ def main():
                          "CPU) and cache its trajectories to "
                          "<workdir>/ref_result.json; a later parity run "
                          "reuses the cache instead of re-training.")
+    ap.add_argument("--device", choices=["default", "cpu"], default="default",
+                    help="cpu: pin OUR side to the CPU backend (PSNR "
+                         "trajectories are hardware-independent; use when "
+                         "the remote TPU tunnel is unavailable). The "
+                         "reference side always runs CPU torch.")
     args = ap.parse_args()
+
+    if args.device == "cpu":
+        # A sitecustomize pins the axon TPU platform; env vars alone do not
+        # override it — the config update must happen before any jax use.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     export_blender_scene(args.scene_dir, args.res)
     print(f"exported scene to {args.scene_dir}", flush=True)
@@ -245,12 +346,64 @@ def main():
         return
     if args.mode == "ref-only":
         ref_train, ref_eval, ref_wall = run_reference(
-            args.scene_dir, args.steps, args.workdir)
+            args.scene_dir, args.steps, args.workdir,
+            save_every=max(1, args.steps // 4))
         with open(ref_cache, "w") as f:
             json.dump({"steps": args.steps, "res": args.res,
                        "train_psnr": ref_train, "eval_psnr": ref_eval,
                        "wall_s": round(ref_wall, 1)}, f, indent=2)
         print(f"reference done in {ref_wall:.1f}s -> {ref_cache}")
+        print("rendering reference holdout images from its checkpoints...",
+              flush=True)
+        ref_images = eval_reference_images(
+            args.scene_dir, args.workdir, args.steps)
+        print(json.dumps({s: v["image_psnr"] for s, v in ref_images.items()},
+                         indent=2))
+        return
+
+    if args.mode == "ablate":
+        # Quirk-exact ablation (VERDICT r3 item 1): which reproduced
+        # reference quirk accounts for the equal-iteration train-PSNR gap?
+        # The parity config deliberately FIXES two reference bugs — the
+        # u=2u+noise resample typo (ray.py:33) and the batch-collapsed
+        # distillation bound (distillation.py:27-29) — so it is not
+        # quirk-exact; these variants reinstate them behind flags.
+        variants = {
+            "base": ({}, {}),
+            "u_typo": ({"resample_u_typo": True}, {}),
+            "collapsed_bounds": ({}, {"quirk_collapsed_bounds": True}),
+            "both": ({"resample_u_typo": True},
+                     {"quirk_collapsed_bounds": True}),
+        }
+        def last(d):
+            return d[max(d)] if d else None
+        section = {
+            "steps": args.steps,
+            "what": ("Reference-cadence batch-64 runs with the reference's "
+                     "two fixed bugs reinstated one at a time; plus a "
+                     "probe separating stochastic-sampling noise in the "
+                     "train-PSNR METRIC from actual model fit "
+                     "(train_psnr_deterministic)."),
+            "variants": {},
+        }
+        for name, (m_extra, t_extra) in variants.items():
+            ckpt_dir = os.path.join(args.workdir, f"ablate_{name}")
+            kw = dict(cadence="reference", batch_size=64,
+                      eval_image_every=max(10, args.steps // 4),
+                      extra_model=m_extra, extra_train=t_extra)
+            ours = run_ours(args.scene_dir, args.steps, ckpt_dir, **kw)
+            cfg = _ours_cfg(args.scene_dir, args.steps, ckpt_dir, **kw)
+            probe = train_psnr_probe(cfg)
+            section["variants"][name] = {
+                "final_train_psnr": last(ours["train_psnr"]),
+                "final_eval_psnr": last(ours["eval_psnr"]),
+                "final_image_psnr": last(ours["image_psnr"]),
+                "probe": probe,
+                "wall_s": ours["wall_s"],
+            }
+            print(f"[ablate] {name}: {section['variants'][name]}", flush=True)
+        _merge_into_parity_json("train_psnr_ablation", section)
+        print(json.dumps(section["variants"], indent=2))
         return
 
     if args.mode == "convergence":
@@ -325,11 +478,26 @@ def main():
             print(f"reference loaded from cache {ref_cache}", flush=True)
         else:
             ref_train, ref_eval, ref_wall = run_reference(
-                args.scene_dir, args.steps, args.workdir)
+                args.scene_dir, args.steps, args.workdir,
+                save_every=max(1, args.steps // 4))
             print(f"reference done in {ref_wall:.1f}s", flush=True)
+        # IMAGE-level scoring of the reference's saved checkpoints by its own
+        # renderer (VERDICT r3 item 1: both sides need image PSNR). Cached in
+        # the workdir by eval_reference_images' out_json.
+        ref_img_cache = os.path.join(args.workdir, "ref_image_eval.json")
+        if os.path.exists(ref_img_cache):
+            with open(ref_img_cache) as f:
+                ref_images = {int(k): v for k, v in json.load(f).items()}
+            print("reference image eval loaded from cache", flush=True)
+        else:
+            print("rendering reference holdout images from its checkpoints...",
+                  flush=True)
+            ref_images = eval_reference_images(
+                args.scene_dir, args.workdir, args.steps)
         result["reference"] = {
             "train_psnr": ref_train,
             "eval_psnr": ref_eval,
+            "image_eval": ref_images,
             "wall_s": round(ref_wall, 1),
             "device": "cpu (no CUDA in this environment; RTX 3090 upstream)",
         }
@@ -341,17 +509,36 @@ def main():
         # both sides logged (the acceptance is "ours >= reference at every
         # shared checkpoint", VERDICT.md item 1)
         shared = sorted(set(ours["eval_psnr"]) & set(ref_eval))
+        # image-level comparison at shared checkpoints (ref model_<N>.pt is
+        # written AFTER step N's update, i.e. N+1 updates vs our N — a
+        # one-step offset in the reference's favor, noted not corrected)
+        shared_img = sorted(set(ours["image_psnr"]) & set(ref_images))
         result["summary"] = {
             "final_train_psnr": {"ours": last(ours["train_psnr"]),
                                  "reference": last(ref_train)},
             "final_eval_psnr": {"ours": last(ours["eval_psnr"]),
                                 "reference": last(ref_eval)},
-            "final_image_psnr_ours": last(ours["image_psnr"]),
+            "final_image_psnr": {
+                "ours": last(ours["image_psnr"]),
+                "reference": (ref_images[max(ref_images)]["image_psnr"]
+                              if ref_images else None)},
+            "final_image_ssim": {
+                "ours": last(ours["image_ssim"]),
+                "reference": (ref_images[max(ref_images)]["image_ssim"]
+                              if ref_images else None)},
             "shared_eval_checkpoints": len(shared),
             "ours_ge_ref_at_checkpoint_frac": (
                 round(float(np.mean([ours["eval_psnr"][s] >= ref_eval[s]
                                      for s in shared])), 4)
                 if shared else None),
+            "image_psnr_at_shared_checkpoints": {
+                s: {"ours": ours["image_psnr"][s],
+                    "reference": ref_images[s]["image_psnr"]}
+                for s in shared_img},
+            "ours_ge_ref_image_frac": (
+                round(float(np.mean(
+                    [ours["image_psnr"][s] >= ref_images[s]["image_psnr"]
+                     for s in shared_img])), 4) if shared_img else None),
         }
     _merge_into_parity_json("parity", result)
     print(json.dumps(result.get("summary", {"ours": ours["wall_s"]}),

@@ -1,4 +1,4 @@
-"""Scaling-efficiency harness -> SCALING_r3.json (override with --out).
+"""Scaling-efficiency harness -> SCALING_r4.json (override with --out).
 
 BASELINE.md targets >=85% iter/s scaling efficiency from 1 host to 2 hosts.
 No multi-chip or multi-host TPU hardware exists in this environment (one
@@ -51,23 +51,24 @@ def _env():
     return env
 
 
-def run_single(devices: int, batch: int, steps: int) -> dict:
+def run_single(devices: int, batch: int, steps: int, reps: int) -> dict:
     out = subprocess.run(
         [sys.executable, WORKER, "--devices", str(devices),
-         "--batch", str(batch), "--steps", str(steps)],
+         "--batch", str(batch), "--steps", str(steps), "--reps", str(reps)],
         cwd=REPO, env=_env(), capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, out.stdout + out.stderr
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def run_multiproc(nproc: int, devices_per_proc: int, batch: int,
-                  steps: int) -> dict:
+                  steps: int, reps: int) -> dict:
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, "--devices", str(devices_per_proc),
              "--nproc", str(nproc), "--pid", str(pid), "--port", str(port),
-             "--batch", str(batch), "--steps", str(steps)],
+             "--batch", str(batch), "--steps", str(steps),
+             "--reps", str(reps)],
             cwd=REPO, env=_env(), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for pid in range(nproc)
@@ -91,40 +92,58 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--out", default="SCALING_r3.json")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default="SCALING_r4.json")
     args = ap.parse_args()
 
     mesh_rows = []
     base = None
     for n in [1, 2, 4, 8]:
-        r = run_single(n, args.batch, args.steps)
+        r = run_single(n, args.batch, args.steps, args.reps)
         if base is None:
             base = r["steps_per_sec"]
-        r["efficiency_vs_1"] = round(r["steps_per_sec"] / base, 4)
+        r["throughput_ratio_vs_1"] = round(r["steps_per_sec"] / base, 4)
         mesh_rows.append(r)
         print(f"virtual mesh n={n}: {r}", flush=True)
 
-    one_proc = run_single(4, args.batch, args.steps)
-    two_proc = run_multiproc(2, 2, args.batch, args.steps)
+    one_proc = run_single(4, args.batch, args.steps, args.reps)
+    two_proc = run_multiproc(2, 2, args.batch, args.steps, args.reps)
     loopback_eff = round(two_proc["steps_per_sec"]
                          / one_proc["steps_per_sec"], 4)
+    # conservative spread from the per-rep extremes of both sides
+    eff_lo = round(min(two_proc["steps_per_sec_reps"])
+                   / max(one_proc["steps_per_sec_reps"]), 4)
+    eff_hi = round(max(two_proc["steps_per_sec_reps"])
+                   / min(one_proc["steps_per_sec_reps"]), 4)
     print(f"loopback: 1x4dev {one_proc['steps_per_sec']} steps/s, "
           f"2x2dev {two_proc['steps_per_sec']} steps/s, "
-          f"eff {loopback_eff}", flush=True)
+          f"eff {loopback_eff} [{eff_lo}, {eff_hi}]", flush=True)
 
+    noise = any(r["throughput_ratio_vs_1"] > 1.0 for r in mesh_rows[1:])
     result = {
         "what": ("Scaling-overhead measurements on CPU virtual devices — "
                  "the only scaling surface available (single tunneled TPU "
                  "chip, no pod). See module docstring for the real-pod "
                  "methodology; the >=85% BASELINE.md target applies to "
                  "that measurement."),
+        "headline": {
+            "metric": "loopback 2-process efficiency (the 1->2 host stand-in)",
+            "efficiency_2proc_vs_1proc": loopback_eff,
+            "spread_from_rep_extremes": [eff_lo, eff_hi],
+            "reps": args.reps,
+        },
         "host": {"physical_cores": os.cpu_count()},
         "config": {"batch_total": args.batch, "steps_per_chunk": args.steps,
+                   "reps": args.reps,
                    "model": "num_samples=32 prop64 nerf256x4 f32 joint"},
-        "virtual_mesh_sharding_overhead": {
-            "note": ("same total batch + same cores, dp mesh 1/2/4/8: "
-                     "efficiency_vs_1 = fraction of throughput retained "
-                     "after GSPMD partitioning + grad-psum insertion"),
+        "virtual_mesh_rows": {
+            "note": ("COMPILE-CORRECTNESS ONLY, not an efficiency signal: "
+                     f"{os.cpu_count()} physical cores execute all virtual "
+                     "devices, so row-to-row spread exceeds the sharding "
+                     "overhead being probed (ratios > 1.0 are noise"
+                     + (", present in this run" if noise else "")
+                     + "). Kept to show the dp-sharded program compiles and "
+                     "runs at every width with mean±std recorded."),
             "rows": mesh_rows,
         },
         "loopback_process_overhead": {
