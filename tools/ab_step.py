@@ -8,12 +8,20 @@ the same 20-step scanned loop bench.py uses.
 
     python tools/ab_step.py baseline
     python tools/ab_step.py no_distortion | no_distillation | no_resample | no_blur
+    python tools/ab_step.py bounds_einsum|bounds_banded --samples 512 --batch 1024
 
 Round-3 v5e result (PROFILE_r3.json "subtractive_ab_ms_per_step"): every
 variant moves the 82 ms step by <1% — the step is matmul-bound, full stop.
+
+The bounds_* variants force one weight_bounds implementation regardless of
+the byte-budget dispatch (losses/distillation.py), to measure the actual
+einsum<->banded crossover at the large-N shapes the banded form exists for
+(VERDICT r3 weak #6: the 512x512 threshold had never been timed at its own
+shapes). --samples/--batch size the step accordingly.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -25,10 +33,22 @@ import numpy as np
 
 
 def main():
-    variant = sys.argv[1] if len(sys.argv) > 1 else "baseline"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variant", nargs="?", default="baseline")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--k", type=int, default=20, help="scanned steps per call")
+    ap.add_argument("--device", choices=["default", "cpu"], default="default",
+                    help="cpu: pin the CPU backend (a sitecustomize pins the "
+                         "axon TPU platform; env vars alone don't override)")
+    args = ap.parse_args()
+    variant = args.variant
 
     import jax
     import jax.numpy as jnp
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import mipnerf360_tpu.core.sampling as samp_mod
     import mipnerf360_tpu.losses.distillation as dill_mod
@@ -38,7 +58,12 @@ def main():
     if variant == "no_distortion":
         dist_mod.distortion_loss = lambda s, w, reduction="sum": jnp.sum(w) * 0.0
     elif variant == "no_distillation":
-        dill_mod.distillation_loss = lambda tf, wf, tc, wc: jnp.sum(wc) * 0.0
+        dill_mod.distillation_loss = (
+            lambda tf, wf, tc, wc, collapsed=False: jnp.sum(wc) * 0.0)
+    elif variant == "bounds_einsum":
+        dill_mod.weight_bounds = dill_mod.weight_bounds_einsum
+    elif variant == "bounds_banded":
+        dill_mod.weight_bounds = dill_mod.weight_bounds_banded
     elif variant == "no_resample":
         fused_mod.resample_along_rays = (
             lambda key, t, w, r, p, mode="auto": jax.lax.stop_gradient(t))
@@ -73,6 +98,14 @@ def main():
         import mipnerf360_tpu.ops.fused as f2
         assert f2.sampling.blur_weights is samp_mod.blur_weights, \
             "stub not bound: ops.fused resolves a different core.sampling module"
+    elif variant.startswith("bounds_"):
+        # distillation_loss resolves weight_bounds via its module globals,
+        # which the monkeypatch above replaced
+        assert dill_mod.weight_bounds is (
+            dill_mod.weight_bounds_einsum if variant == "bounds_einsum"
+            else dill_mod.weight_bounds_banded), "stub not bound"
+        assert step_mod.distillation_loss is dill_mod.distillation_loss, \
+            "stub not bound: step.py holds a stale distillation_loss"
 
     from mipnerf360_tpu.config import (Config, DataConfig, MeshConfig,
                                        ModelConfig, TrainConfig)
@@ -81,8 +114,8 @@ def main():
                                               shard_params)
     from mipnerf360_tpu.train.state import init_train_state
 
-    B, K = 4096, 20
-    cfg = Config(model=ModelConfig(),
+    B, K = args.batch, args.k
+    cfg = Config(model=ModelConfig(num_samples=args.samples),
                  train=TrainConfig(batch_size=B, cadence="joint"),
                  data=DataConfig(), mesh=MeshConfig(data=1, model=1))
     mesh = make_mesh(1, 1)
@@ -101,7 +134,9 @@ def main():
     state, aux = loop(state, rays_s, pix_s)
     float(jax.device_get(aux["loss"][-1]))
     dt = (time.perf_counter() - t0) / K
-    print(json.dumps({"variant": variant, "ms_per_step": round(dt * 1e3, 2),
+    print(json.dumps({"variant": variant, "batch": B,
+                      "num_samples": args.samples,
+                      "ms_per_step": round(dt * 1e3, 2),
                       "rays_per_sec": round(B / dt, 1)}))
 
 
