@@ -241,6 +241,39 @@ class TestCheckpoint:
         for s, lr in lrs.items():
             assert lr == pytest.approx(cfg.train.lr_final, rel=1e-4), (s, lr)
 
+    def test_keep_best_survives_resume(self, tmp_path):
+        """best-eval tracking must persist across --resume (manifest
+        best_psnr_image): a resumed run whose evals are all worse must NOT
+        overwrite ckpt_best (observed live in r4: a 31.07 dB best replaced
+        by a 30.62 dB 'best' at the first extension boundary)."""
+        import json
+        import os
+
+        from mipnerf360_tpu.train.trainer import train as run_train
+
+        ckpt = str(tmp_path / "ckpt")
+        cfg = tiny_config("joint", save_every=4, eval_every=0, log_every=2,
+                          eval_image_every=2, checkpoint_dir=ckpt)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, max_steps=4))
+        run_train(cfg)
+        best_path = os.path.join(ckpt, "ckpt_best.msgpack")
+        assert os.path.exists(best_path)
+        # pretend the original run's best is unbeatable
+        mpath = os.path.join(ckpt, "manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        manifest["best_psnr_image"] = 999.0
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        before = os.path.getmtime(best_path)
+
+        cfg2 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, max_steps=8))
+        run_train(cfg2, resume=True)
+        assert os.path.getmtime(best_path) == before, \
+            "resume overwrote ckpt_best with a worse checkpoint"
+
     def test_keep_prunes(self, tmp_path):
         import os
         cfg = tiny_config("joint")
