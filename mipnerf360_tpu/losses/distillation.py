@@ -61,8 +61,10 @@ def weight_bounds_banded(t_fine, w_fine, t_coarse):
     prefix gathers are serial VPU work, and making this the default measured
     50,053 -> 34,596 rays/s/chip (-31%) on v5e at B=4096, N=64, where the
     einsum's [B, Nc, Nf] tensor is 33 MFLOP of MXU time and a 64 MiB
-    transient — both noise. ``weight_bounds`` dispatches here only when the
-    quadratic transient would be big enough to threaten HBM (N >~ 512).
+    transient — both noise. r4 measured the large-N regime too: the einsum
+    stays 1.7-1.8x faster through 1-2 GiB transients (see the threshold
+    comment below), so ``weight_bounds`` dispatches here only when the
+    quadratic transient would actually threaten HBM capacity.
     """
     t0 = t_fine[..., :-1]   # [..., Nf] (sorted)
     t1 = t_fine[..., 1:]    # [..., Nf] (sorted)
@@ -79,14 +81,20 @@ def weight_bounds_banded(t_fine, w_fine, t_coarse):
 
 
 # Above this many bytes of [.., Nc, Nf] einsum transient, the quadratic
-# overlap tensor starts to threaten HBM and the banded form wins; below it the
-# einsum is MXU-fused and ~31% faster end-to-end (measured, see
-# weight_bounds_banded docstring). The budget counts the full transient —
-# batch dims INCLUDED — because that is what actually lands in HBM: at
-# B=4096, Nc=Nf=512 the f32 overlap operand alone is ~4 GiB, far past any
-# per-ray-pair threshold. 256 MiB keeps the flagship B=4096, N=64 shape
-# (64 MiB) comfortably on the einsum path. Static shapes -> free dispatch.
-_BANDED_BYTES_THRESHOLD = 256 * 1024 * 1024
+# overlap tensor starts to threaten HBM and the banded form takes over. The
+# budget counts the full transient — batch dims INCLUDED — because that is
+# what actually lands in HBM: at B=4096, Nc=Nf=512 the f32 overlap operand
+# alone is ~4 GiB, far past any per-ray-pair threshold (advisor r3).
+#
+# The crossover is HBM capacity, NOT speed: measured on v5e (tools/ab_step.py
+# bounds_* variants, r4) the einsum step is FASTER than banded all the way up
+# to the largest transients that safely fit —
+#   B=1024, N=512  (1 GiB transient): einsum 164.6 ms/step, banded 282.4
+#   B=512,  N=1024 (2 GiB transient): einsum 166.0 ms/step, banded 294.8
+# so the threshold sits at the measured-safe 2 GiB (16 GB HBM chip) and the
+# banded form exists purely as the beyond-HBM fallback. Static shapes ->
+# free dispatch.
+_BANDED_BYTES_THRESHOLD = 2 * 1024 * 1024 * 1024
 
 
 def _einsum_transient_bytes(w_fine, nc: int) -> int:

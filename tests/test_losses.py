@@ -117,10 +117,11 @@ class TestDistillation:
 
             dispatch(4096, 64)    # flagship: 64 MiB transient -> einsum
             dispatch(1, 1024)     # big-N, tiny batch: 4 MiB -> still einsum
-            dispatch(4096, 512)   # 4 GiB transient -> banded
+            dispatch(1024, 512)   # 1 GiB: einsum (measured 1.7x faster)
+            dispatch(4096, 512)   # 4 GiB transient (> 2 GiB cap) -> banded
         finally:
             d.weight_bounds_einsum, d.weight_bounds_banded = orig_e, orig_b
-        assert calls == ["einsum", "einsum", "banded"], calls
+        assert calls == ["einsum", "einsum", "einsum", "banded"], calls
 
     def test_collapsed_quirk_matches_reference_loop_semantics(self):
         """collapsed=True must reproduce the reference's batch-collapse
