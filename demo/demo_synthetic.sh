@@ -4,8 +4,9 @@
 # environments without the nerf_360 dataset; same quality model
 # (synthetic_quality preset, config.py QUALITY_MODEL/QUALITY_TRAIN).
 #
-# Validated live on a TPU v5e (PRESET_VALIDATION_r3.json): 38.8 dB mean /
-# 0.986 SSIM over the 7 held-out views after 1500 steps at 47k rays/s.
+# Validated live on a TPU v5e (PRESET_VALIDATION_r4.json): 31.1 dB mean /
+# 0.983 SSIM over 7 honest (all-informative) held-out views after 1500 steps
+# at 47.3k rays/s.
 # STEPS=10000 (the preset default, the reference demo's operating point)
 # reaches the PARITY_PSNR.json "convergence" regime.
 set -euo pipefail

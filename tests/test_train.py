@@ -95,6 +95,22 @@ class TestTrainStep:
         last = np.mean([h["psnr"] for h in hist[-10:]])
         assert last > first + 1.0, (first, last)  # PSNR improves by >1dB
 
+    def test_quirk_exact_flags_plumb_through_step(self):
+        """The quirk-exact ablation flags (model.resample_u_typo,
+        train.quirk_collapsed_bounds) must reach the fused step: both
+        cadences run finite with them on, and the collapsed-bounds flag
+        changes the proposal loss."""
+        cfg = tiny_config("reference")
+        cfg_q = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, resample_u_typo=True),
+            train=dataclasses.replace(cfg.train, quirk_collapsed_bounds=True))
+        _, hist_q = _run_steps(cfg_q, 2)
+        assert all(np.isfinite(h["loss"]) for h in hist_q)
+        _, hist = _run_steps(cfg, 2)
+        # collapsed bounds sum over the batch -> much larger hinge loss
+        assert hist_q[0]["loss_prop"] > hist[0]["loss_prop"]
+
     def test_reference_cadence_runs_and_improves(self):
         cfg = tiny_config("reference")
         state, hist = _run_steps(cfg, 40)
