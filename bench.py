@@ -96,6 +96,11 @@ def main():
                          "(config.py QUALITY_MODEL: linear density head, "
                          "multi-scale IPE deg 5 -> input width 226) instead "
                          "of the single-scale parity model")
+    ap.add_argument("--pad-lanes", action="store_true",
+                    help="zero-pad the encoded input to a 128-lane multiple "
+                         "(ModelConfig.pad_input_lanes) — the first-matmul "
+                         "alignment experiment; MFU is still computed from "
+                         "the UNpadded (useful) FLOPs")
     ap.add_argument("--staging", action="store_true",
                     help="include per-step batch assembly (native sampler "
                          "gather over the synthetic scene) + host->device "
@@ -133,7 +138,8 @@ def main():
         measurement, so per-call host/tunnel overhead (seconds over the
         remote axon tunnel) cannot masquerade as step time either way.
         """
-        model_kw = dict(remat=args.remat, use_pallas=args.pallas)
+        model_kw = dict(remat=args.remat, use_pallas=args.pallas,
+                        pad_input_lanes=args.pad_lanes)
         if quality:
             model_kw.update(QUALITY_MODEL)
         cfg = Config(
@@ -193,8 +199,11 @@ def main():
             t0 = time.perf_counter()
             for r in range(rounds):
                 state, aux = loop_fn(state, *batch)          # async dispatch
-                if r + 1 < rounds:                           # prefetch
-                    batch = make_batch((1001 + r) * args.steps)
+                # Prefetch EVERY round (the last round's batch is discarded):
+                # the trainer assembles exactly one batch per chunk in steady
+                # state, so excluding the last round's assembly under-counted
+                # staging by 1/rounds (advisor r4).
+                batch = make_batch((1001 + r) * args.steps)
                 float(jax.device_get(aux["loss"][-1]))       # sync point
             dt = (time.perf_counter() - t0) / rounds
         else:

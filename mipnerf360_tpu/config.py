@@ -66,6 +66,15 @@ class ModelConfig:
     # Intended for huge samples-per-ray render tiles (SURVEY §2.2).
     sample_shards: int = 1
 
+    # Zero-pad the encoded input features (and the first-layer weight rows)
+    # up to the next multiple of 128 — the TPU lane width — so the first
+    # matmul's contraction dim is tile-aligned (e.g. the quality model's
+    # 226-wide encoding -> 256). Function-preserving: pad features are zero,
+    # pad weight rows start at zero and receive zero gradient. Whether this
+    # beats XLA's own internal padding is an empirical question per shape;
+    # see DESIGN.md §7c for the measured verdict.
+    pad_input_lanes: bool = False
+
     @property
     def input_dim(self) -> int:
         # 21*2 IPE features per scale + 4 viewdir scales * 2 angles * 2
@@ -73,6 +82,13 @@ class ModelConfig:
         # scale).
         return (42 * (self.ipe_max_deg - self.ipe_min_deg)
                 + 4 * (self.viewdir_max_deg - self.viewdir_min_deg))
+
+    @property
+    def padded_input_dim(self) -> int:
+        """First-matmul fan-in: input_dim rounded up to a lane multiple when
+        ``pad_input_lanes`` is set, else input_dim itself."""
+        d = self.input_dim
+        return -(-d // 128) * 128 if self.pad_input_lanes else d
 
 
 @dataclass(frozen=True)

@@ -97,23 +97,32 @@ def weight_bounds_banded(t_fine, w_fine, t_coarse):
 _BANDED_BYTES_THRESHOLD = 2 * 1024 * 1024 * 1024
 
 
-def _einsum_transient_bytes(w_fine, nc: int) -> int:
+def _einsum_transient_bytes(w_fine, nc: int, data_shards: int = 1) -> int:
+    """PER-DEVICE bytes of the [.., Nc, Nf] overlap transient.
+
+    Under data-parallel GSPMD the batch axis is sharded over ``data_shards``
+    devices, so each device materializes only batch/data_shards of the
+    transient (advisor r4: budgeting the GLOBAL shape fell back to banded up
+    to n_devices x too early — e.g. global B=4096, N=512 on 8 chips is
+    0.5 GiB/chip, not 4 GiB)."""
     import math
 
     batch = math.prod(w_fine.shape[:-1])
     itemsize = jnp.dtype(w_fine.dtype).itemsize
-    return batch * nc * w_fine.shape[-1] * itemsize
+    return batch * nc * w_fine.shape[-1] * itemsize // max(1, data_shards)
 
 
-def weight_bounds(t_fine, w_fine, t_coarse):
+def weight_bounds(t_fine, w_fine, t_coarse, data_shards: int = 1):
     """Production bound: einsum at flagship shapes, banded when the quadratic
-    overlap transient would exceed the HBM byte budget.
+    overlap transient would exceed the per-device HBM byte budget
+    (``data_shards`` = size of the mesh "data" axis the batch is sharded
+    over; the train step plumbs it in).
 
     Same contract as ``weight_bounds_banded`` (the two agree exactly; see
     tests/test_losses.py).
     """
     nc = t_coarse.shape[-1] - 1
-    if _einsum_transient_bytes(w_fine, nc) > _BANDED_BYTES_THRESHOLD:
+    if _einsum_transient_bytes(w_fine, nc, data_shards) > _BANDED_BYTES_THRESHOLD:
         return weight_bounds_banded(t_fine, w_fine, t_coarse)
     return weight_bounds_einsum(t_fine, w_fine, t_coarse)
 
@@ -126,15 +135,16 @@ def proposal_loss(w_coarse, bounds, eps: float = 1e-6):
 
 
 def distillation_loss(t_fine, w_fine, t_coarse, w_coarse,
-                      collapsed: bool = False):
+                      collapsed: bool = False, data_shards: int = 1):
     """bounds + hinge in one call (loss facade, reference loss.py:6-21).
 
     ``collapsed=True`` reproduces the reference's batch-collapse quirk
     (distillation.py:27-29): its boolean-mask indexing flattens batch+sample
     dims, so each bound is the SUM of every ray's per-ray bound, broadcast
     back to all rays. Kept for quirk-exact parity ablations; default is the
-    intended per-ray bound."""
-    b = weight_bounds(t_fine, w_fine, t_coarse)
+    intended per-ray bound. ``data_shards`` sizes the per-device einsum
+    transient for the weight_bounds dispatch (see there)."""
+    b = weight_bounds(t_fine, w_fine, t_coarse, data_shards)
     if collapsed:
         b = jnp.sum(b, axis=0, keepdims=True)
     return proposal_loss(w_coarse, jnp.broadcast_to(b, w_coarse.shape))

@@ -51,7 +51,7 @@ def init_model(key, cfg: ModelConfig) -> Params:
     prop_sizes = [d] + [cfg.hidden_proposal] * cfg.proposal_depth + [1]
     nerf_sizes = [d] + [cfg.hidden_nerf] * cfg.nerf_depth
     kt, kd, kc = jax.random.split(kn, 3)
-    return {
+    params = {
         "prop": init_mlp(kp, prop_sizes),
         "nerf": {
             "trunk": init_mlp(kt, nerf_sizes),
@@ -59,6 +59,18 @@ def init_model(key, cfg: ModelConfig) -> Params:
             "rgb": init_mlp(kc, [cfg.hidden_nerf, 3]),
         },
     }
+    if cfg.padded_input_dim != d:
+        # Lane alignment (pad_input_lanes): zero rows appended AFTER the
+        # real-fan-in Kaiming draw, so init statistics match the unpadded
+        # model and the function is preserved up to f32 reduction order
+        # (pad features are zero; pad rows get zero grads and stay zero
+        # under AdamW).
+        pad = cfg.padded_input_dim - d
+        for tower in (params["prop"], params["nerf"]["trunk"]):
+            w = tower["layers"][0]["w"]
+            tower["layers"][0]["w"] = jnp.concatenate(
+                [w, jnp.zeros((pad, w.shape[1]), w.dtype)], axis=0)
+    return params
 
 
 def _prop_activations(cfg: ModelConfig):
@@ -85,7 +97,12 @@ def _encode(cfg: ModelConfig, rays: Rays, t_vals):
                                  cfg.ipe_max_deg)       # [B, N, 42*scales]
     view = viewdir_enc(rays.viewdirs, cfg.viewdir_min_deg, cfg.viewdir_max_deg)
     view = jnp.broadcast_to(view[..., None, :], pos.shape[:-1] + (view.shape[-1],))
-    return jnp.concatenate([pos, view], axis=-1)
+    x = jnp.concatenate([pos, view], axis=-1)
+    pad = cfg.padded_input_dim - cfg.input_dim
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+    return x
 
 
 def prop_forward(params: Params, cfg: ModelConfig, rays: Rays, key,

@@ -290,7 +290,14 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                 er, ep = next(eval_batches)
                 er, ep = shard_batch(mesh, er, ep)
                 psnr = float(jax.device_get(eval_fn(state.params, er, ep)))
-                logger.log(new_step, {"eval/psnr": psnr})
+                # NOISE-DOMINATED metric, kept only for cadence parity with
+                # reference eval_model (train.py:106-116, one random 64-ray
+                # batch): a single small-batch PSNR draw has ~4 dB std
+                # (measured, PARITY_PSNR.json train_psnr_ablation) — it is
+                # NOT a quality signal; eval/psnr_image is. The key name
+                # says so because two rounds of misreadings came from it
+                # (the r3 "deficit" false alarm; the 22.8-vs-27.1 gap).
+                logger.log(new_step, {"eval/psnr_batch_noisy": psnr})
 
             if (crossed(cfg.train.eval_image_every, step, new_step)
                     and eval_dataset.n_images > 0):

@@ -93,3 +93,61 @@ class TestForward:
 
     def test_input_dim_is_58_for_defaults(self):
         assert ModelConfig().input_dim == 58  # reference model.py:39
+
+
+class TestPadInputLanes:
+    """ModelConfig.pad_input_lanes: lane-aligned first matmul, function
+    preserved up to f32 reduction order — the padded dot tiles its reduction
+    differently, reassociating the SAME nonzero terms (~1e-7 drift).
+    (DESIGN.md §7c — measured 2.7% slower on v5e, shipped off by default as
+    the recorded alignment experiment.)"""
+
+    def test_padded_input_dim(self):
+        cfg = ModelConfig(ipe_max_deg=5)  # quality encoding: 226 wide
+        assert cfg.input_dim == 226 and cfg.padded_input_dim == 226
+        padded = ModelConfig(ipe_max_deg=5, pad_input_lanes=True)
+        assert padded.padded_input_dim == 256
+        # already aligned -> unchanged
+        assert ModelConfig(pad_input_lanes=True).padded_input_dim == 128
+
+    def test_function_preserved(self):
+        kw = dict(num_samples=8, hidden_proposal=16, hidden_nerf=32,
+                  nerf_depth=2, compute_dtype="float32")
+        cfg0 = ModelConfig(**kw)
+        cfg1 = ModelConfig(**kw, pad_input_lanes=True)
+        p0 = init_model(jax.random.PRNGKey(0), cfg0)
+        p1 = init_model(jax.random.PRNGKey(0), cfg1)
+        # pad rows are zero; real rows identical to the unpadded draw
+        w0 = p0["nerf"]["trunk"]["layers"][0]["w"]
+        w1 = p1["nerf"]["trunk"]["layers"][0]["w"]
+        assert w1.shape[0] == cfg1.padded_input_dim
+        np.testing.assert_array_equal(np.asarray(w1[: w0.shape[0]]), np.asarray(w0))
+        assert float(jnp.max(jnp.abs(w1[w0.shape[0]:]))) == 0.0
+        r = rays_to_device(dummy_rays(16))
+        o0 = render_rays(p0, cfg0, r, jax.random.PRNGKey(1), True)
+        o1 = render_rays(p1, cfg1, r, jax.random.PRNGKey(1), True)
+        for k in ("rgb", "distance", "acc"):
+            np.testing.assert_allclose(np.asarray(o0[k]), np.asarray(o1[k]),
+                                       atol=1e-5)
+
+    def test_pad_rows_stay_zero_after_update(self):
+        from mipnerf360_tpu.config import (Config, DataConfig, MeshConfig,
+                                           TrainConfig)
+        from mipnerf360_tpu.train.state import init_train_state
+        from mipnerf360_tpu.train.step import make_train_step
+
+        cfg = Config(
+            model=ModelConfig(num_samples=8, hidden_proposal=16,
+                              hidden_nerf=32, nerf_depth=2,
+                              compute_dtype="float32", pad_input_lanes=True),
+            train=TrainConfig(batch_size=8, cadence="joint"),
+            data=DataConfig(), mesh=MeshConfig(data=1, model=1))
+        state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        step = make_train_step(cfg, None, donate=False)
+        pix = jnp.full((8, 3), 0.5, jnp.float32)
+        r = rays_to_device(dummy_rays(8))
+        for _ in range(2):
+            state, _ = step(state, r, pix)
+        d = cfg.model.input_dim
+        w = state.params["nerf"]["trunk"]["layers"][0]["w"]
+        assert float(jnp.max(jnp.abs(w[d:]))) == 0.0

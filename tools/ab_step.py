@@ -65,8 +65,12 @@ def main():
     elif variant == "bounds_banded":
         dill_mod.weight_bounds = dill_mod.weight_bounds_banded
     elif variant == "no_resample":
+        # **kw absorbs keyword-only knobs (u_typo=...) so the stub cannot
+        # drift out of sync with fused.resample_along_rays' signature again
+        # (advisor r4: a new u_typo= kwarg made the old 6-arg lambda raise
+        # TypeError at trace time).
         fused_mod.resample_along_rays = (
-            lambda key, t, w, r, p, mode="auto": jax.lax.stop_gradient(t))
+            lambda key, t, w, r, p, mode="auto", **kw: jax.lax.stop_gradient(t))
     elif variant == "no_blur":
         samp_mod.blur_weights = lambda w: w
     elif variant != "baseline":

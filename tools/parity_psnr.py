@@ -251,8 +251,12 @@ def parse_ours_metrics(ckpt_dir: str) -> dict:
             rec = json.loads(line)
             if "train/avg_psnr" in rec:
                 train_psnr[rec["step"]] = rec["train/avg_psnr"]
-            if "eval/psnr" in rec:
-                eval_psnr[rec["step"]] = rec["eval/psnr"]
+            # r5 renamed the single-batch eval metric to state its ~4 dB
+            # noise floor; accept the old key so pre-r5 runs still parse.
+            for k in ("eval/psnr_batch_noisy", "eval/psnr"):
+                if k in rec:
+                    eval_psnr[rec["step"]] = rec[k]
+                    break
             if "eval/psnr_image" in rec:
                 image_psnr[rec["step"]] = rec["eval/psnr_image"]
             if "eval/ssim" in rec:
