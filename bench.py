@@ -102,10 +102,15 @@ def main():
                          "alignment experiment; MFU is still computed from "
                          "the UNpadded (useful) FLOPs")
     ap.add_argument("--staging", action="store_true",
-                    help="include per-step batch assembly (native sampler "
-                         "gather over the synthetic scene) + host->device "
-                         "upload in the measured region, mirroring the "
-                         "trainer's real path (train/trainer.py stage())")
+                    help="include per-step batch staging in the measured "
+                         "region, mirroring the trainer's real path "
+                         "(train/trainer.py stage()): r5 default is the "
+                         "HBM-resident ray bank + index-only uploads with a "
+                         "background staging thread")
+    ap.add_argument("--stage-host", action="store_true",
+                    help="with --staging: force the host-gather + full-batch "
+                         "upload path (train.stage_mode=host) instead of the "
+                         "device bank — the pre-r5 staging measurement")
     ap.add_argument("--mfu", action="store_true",
                     help="add mfu_matmul/config detail keys to the output")
     ap.add_argument("--mode", default="train", choices=["train", "render"],
@@ -150,20 +155,36 @@ def main():
         )
         state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
         state = state._replace(params=shard_params(mesh, state.params))
-        loop_fn = make_train_loop(cfg, mesh, donate=True)
 
         if staging:
-            # End-to-end: fresh per-step batches assembled by the native
-            # sampler over the synthetic scene + host->device upload inside
-            # the measured region (the trainer's stage(), train/trainer.py).
+            # End-to-end: fresh per-step batches staged inside the measured
+            # region, exactly as the trainer does (train/trainer.py stage()).
+            # Default = the r5 device-bank path: the dataset is uploaded to
+            # HBM once (before timing, as in the trainer) and per-chunk
+            # staging ships only [K, B] int32 indices; --stage-host forces
+            # the pre-r5 host-gather + f32-upload path.
             from mipnerf360_tpu.data import get_dataset
 
             dataset = get_dataset(cfg.data, "train")
+            if args.stage_host:
+                loop_fn = make_train_loop(cfg, mesh, donate=True)
 
-            def make_batch(step0: int):
-                r, p = dataset.batch_stack(args.steps, args.batch, 0, step0)
-                return shard_batch_stack(mesh, r, p)
+                def make_batch(step0: int):
+                    r, p = dataset.batch_stack(args.steps, args.batch, 0, step0)
+                    return shard_batch_stack(mesh, r, p)
+            else:
+                from mipnerf360_tpu.parallel.mesh import (shard_index_stack,
+                                                          upload_bank)
+                from mipnerf360_tpu.train.step import make_banked_train_loop
+
+                loop_fn = make_banked_train_loop(cfg, mesh, donate=True)
+                bank = upload_bank(mesh, dataset.rays, dataset.pixels)
+
+                def make_batch(step0: int):
+                    idx = dataset.index_stack(args.steps, args.batch, 0, step0)
+                    return (*bank, shard_index_stack(mesh, idx))
         else:
+            loop_fn = make_train_loop(cfg, mesh, donate=True)
             # Compute-only: ONE broadcast batch uploaded once, reused every
             # call (fresh-ray HBM traffic excluded).
             rays_np = dummy_rays(args.batch)
@@ -188,24 +209,27 @@ def main():
             float(jax.device_get(aux["loss"][-1]))
 
         if staging:
-            # Mirror the trainer's REAL pattern (train/trainer.py): dispatch
-            # the chunk (async), assemble the NEXT chunk's batch while the
-            # device executes, sync at the log boundary. A serialized
-            # assemble-then-run measurement under-reports the trainer by
-            # ~10% (the host gather overlaps device compute in practice;
-            # the live trainer logs ~47k rays/s on the quality model).
-            rounds = 3
-            batch = make_batch(1000 * args.steps)
+            # Mirror the trainer's REAL pattern (train/trainer.py
+            # BackgroundStager, r5): a double-buffered worker thread
+            # assembles + uploads stacks AHEAD of the loop, overlapping both
+            # device compute and the main thread's sync. The stager pre-fills
+            # its depth-deep queue before t0; the steps list carries depth
+            # extra entries so the worker performs exactly one assembly per
+            # timed round in steady state (no under-count, advisor r4).
+            from mipnerf360_tpu.train.trainer import BackgroundStager
+
+            rounds, depth = 6, 2
+            stager = BackgroundStager(
+                make_batch,
+                [(1000 + i) * args.steps for i in range(rounds + depth)],
+                depth=depth)
             t0 = time.perf_counter()
             for r in range(rounds):
+                batch = stager.get()
                 state, aux = loop_fn(state, *batch)          # async dispatch
-                # Prefetch EVERY round (the last round's batch is discarded):
-                # the trainer assembles exactly one batch per chunk in steady
-                # state, so excluding the last round's assembly under-counted
-                # staging by 1/rounds (advisor r4).
-                batch = make_batch((1001 + r) * args.steps)
                 float(jax.device_get(aux["loss"][-1]))       # sync point
             dt = (time.perf_counter() - t0) / rounds
+            stager.close()
         else:
             t0 = time.perf_counter()
             state, aux = loop_fn(state, *make_batch(1000 * args.steps))

@@ -152,6 +152,23 @@ class TrainConfig:
     # into <profile_dir> (view with TensorBoard's profile plugin).
     profile_dir: str = ""
     profile_start: int = 10
+    # Background double-buffered batch staging (train/trainer.py
+    # BackgroundStager): the native-sampler gather + host->device upload run
+    # on a worker thread ahead of the loop, overlapping device compute and
+    # the main thread's log-boundary sync. False = inline staging on the
+    # main thread (identical batches; the index stream is stateless).
+    async_staging: bool = True
+    # What crosses the host->device boundary per chunk:
+    #   "device_bank": upload the whole flattened dataset REPLICATED into
+    #     HBM once; per chunk ship only [K, B] int32 indices and gather on
+    #     device inside the scanned loop (~15x fewer staged bytes, zero
+    #     host gather work).
+    #   "host": native-sampler host gather + [K, B, c] f32 upload per chunk
+    #     (the pre-r5 path; required when the dataset exceeds HBM).
+    #   "auto" (default): device_bank while the bank fits the byte budget
+    #     (train/trainer.py _BANK_AUTO_BYTES), else host.
+    # Batch selection is bit-identical across modes (stateless index stream).
+    stage_mode: str = "auto"
     # Guard training state/metrics for NaN/Inf at every log boundary and abort
     # with the offending param paths (utils/checks.py). Cheap on-device
     # reduction; off by default for the hot loop.
@@ -317,6 +334,25 @@ def bicycle_multihost() -> Config:
     )
 
 
+def bicycle_multihost_quality() -> Config:
+    """nerf_360 bicycle multi-host at the converging operating point.
+
+    The flagship multi-host + video-render regime (BASELINE configs[4];
+    reference demo/demo_360.sh:1-8 and config.py:64-74 define the nerf_360
+    defaults it inherits: cylinder rays, black background) with the
+    QUALITY_MODEL/QUALITY_TRAIN overrides — ``bicycle_multihost`` ships the
+    reference-parity model, which the parity record proves cannot converge
+    (README.md:9; PARITY_PSNR.json "convergence"). Mesh/batch shape is
+    exercised in the driver dryrun (__graft_entry__.py); live stand-in
+    convergence + video render recorded in PRESET_VALIDATION_r5.json."""
+    cfg = bicycle_multihost()
+    cfg = dataclasses.replace(cfg, preset="bicycle_multihost_quality")
+    return _replace(cfg, model=dict(QUALITY_MODEL, white_bkgd=False,
+                                    ray_shape="cylinder"),
+                    train=dict(QUALITY_TRAIN, eval_image_every=1000,
+                               eval_image_views=4))
+
+
 def garden_quality() -> Config:
     """nerf_360 garden at the paper-faithful (converging) operating point.
 
@@ -393,6 +429,7 @@ PRESETS = {
     "garden_quality": garden_quality,
     "synthetic_quality": synthetic_quality,
     "bicycle_multihost": bicycle_multihost,
+    "bicycle_multihost_quality": bicycle_multihost_quality,
 }
 
 

@@ -80,6 +80,35 @@ class RayDataset:
                 o[i] = r
         return Rays(*outs[:-1]), outs[-1]
 
+    def index_stack(self, k: int, batch_size: int, seed: int, start_step: int
+                    ) -> np.ndarray:
+        """[k, B] int32 ray indices of the SAME stateless stream that
+        :meth:`batch_stack` gathers — for device-bank staging, where the
+        dataset lives in HBM and the gather happens on device
+        (train/step.py ``make_banked_train_loop``); only these indices cross
+        the host->device boundary (~15x fewer bytes than gathered rays)."""
+        from ..native import sample_indices
+
+        idx = sample_indices(seed, start_step * batch_size, k * batch_size,
+                             self.n_rays)
+        return idx.reshape(k, batch_size).astype(np.int32)
+
+    def index_stack_local(self, k: int, batch_size: int, seed: int,
+                          start_step: int, proc_index: int, proc_count: int
+                          ) -> np.ndarray:
+        """Process-local [k, B/P] shard of :meth:`index_stack` (same counter
+        runs as :meth:`batch_stack_local`): concatenating the P shards along
+        the batch axis reproduces the global index stack bit-for-bit."""
+        from ..native import sample_indices
+
+        assert batch_size % proc_count == 0, (batch_size, proc_count)
+        b_loc = batch_size // proc_count
+        out = np.empty((k, b_loc), np.int32)
+        for i in range(k):
+            start = (start_step + i) * batch_size + proc_index * b_loc
+            out[i] = sample_indices(seed, start, b_loc, self.n_rays)
+        return out
+
     def image(self, i: int) -> Tuple[Rays, Optional[np.ndarray]]:
         """All rays (and pixels) of image ``i``, flattened [H*W, c]."""
         per = self.h * self.w

@@ -94,6 +94,35 @@ def shard_batch_stack_local(mesh: Mesh, rays: Rays, pixels=None):
     return rays, put(pixels)
 
 
+def upload_bank(mesh: Mesh, rays: Rays, pixels):
+    """Upload the full flattened ray/pixel arrays REPLICATED on every device:
+    the HBM-resident ray bank for device-side batch gathers (train/step.py
+    ``make_banked_train_loop``). Uploaded once per run; per-chunk staging then
+    ships only [K, B] int32 indices. Multi-process: every process holds the
+    full dataset already (loaders are per-process), so the replicated global
+    array is built from identical process-local data."""
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(
+            sh, np.ascontiguousarray(x))
+    else:
+        put = lambda x: jax.device_put(np.asarray(x), sh)
+    return rays_map(put, rays), put(pixels)
+
+
+def shard_index_stack(mesh: Mesh, idx) -> Any:
+    """Place a [K, B] int32 index stack with the batch axis over "data"."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    return jax.device_put(np.asarray(idx), sh)
+
+
+def shard_index_stack_local(mesh: Mesh, idx) -> Any:
+    """Multi-host :func:`shard_index_stack`: each process passes its
+    [K, B/P] shard (``RayDataset.index_stack_local`` layout)."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    return jax.make_array_from_process_local_data(sh, np.asarray(idx))
+
+
 def param_shardings(mesh: Mesh, params) -> Any:
     """Sharding tree for params: replicated by default; NeRF trunk hidden dims
     sharded over "model" when that axis is >1 (Megatron alternation)."""

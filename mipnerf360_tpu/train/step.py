@@ -193,6 +193,36 @@ def make_train_step(cfg: Config, mesh=None, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_banked_train_loop(cfg: Config, mesh=None, donate: bool = True):
+    """K train steps gathering each step's ray batch ON DEVICE from an
+    HBM-resident bank: ``loop(state, bank_rays, bank_pixels, idx_stack)``.
+
+    The bank (every flattened dataset ray/pixel row, replicated per device —
+    parallel/mesh.upload_bank) is uploaded once per run; per chunk only a
+    [K, B] int32 index stack crosses the host->device boundary (~15x fewer
+    bytes than staging gathered f32 rays, and no host-side gather at all).
+    The gather is a local HBM read: indices sharded over "data", bank
+    replicated, so GSPMD emits a communication-free per-device gather whose
+    output matches the sharded-batch layout of ``make_train_loop``. Batch
+    selection is bit-identical to host staging (RayDataset.index_stack is
+    the same stateless stream batch_stack gathers; equivalence tested in
+    tests/test_train.py)."""
+    fn = (reference_cadence_step if cfg.train.cadence == "reference"
+          else joint_cadence_step)
+    shards = _data_shards(mesh)
+
+    def loop(state, bank_rays, bank_pixels, idx_stack):
+        from ..core.rays import rays_map
+
+        def body(carry, idx):
+            rays = rays_map(lambda x: x[idx], bank_rays)
+            return fn(cfg, carry, rays, bank_pixels[idx], data_shards=shards)
+        return jax.lax.scan(body, state, idx_stack)
+
+    # Donate ONLY the state; the bank is reused across every chunk.
+    return jax.jit(loop, donate_argnums=(0,) if donate else ())
+
+
 def make_train_loop(cfg: Config, mesh=None, donate: bool = True):
     """K train steps fused into ONE XLA program via ``lax.scan``.
 

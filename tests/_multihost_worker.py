@@ -1,6 +1,6 @@
 """Worker process for the multi-host loopback test (not a pytest module).
 
-Usage: python _multihost_worker.py <process_id> <num_processes> <port>
+Usage: python _multihost_worker.py <process_id> <num_processes> <port> [cadence]
 
 Each process brings 2 virtual CPU devices; together they form a global
 2*num_processes-device "data" mesh. The worker:
@@ -15,6 +15,7 @@ import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+cadence = sys.argv[4] if len(sys.argv) > 4 else "joint"
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=2").strip()
@@ -44,7 +45,7 @@ assert n_global == 2 * nproc, n_global
 cfg = Config(
     model=ModelConfig(num_samples=8, hidden_proposal=16, hidden_nerf=32,
                       nerf_depth=2, compute_dtype="float32"),
-    train=TrainConfig(batch_size=8 * n_global, cadence="joint"),
+    train=TrainConfig(batch_size=8 * n_global, cadence=cadence),
     data=DataConfig(),
     mesh=MeshConfig(data=n_global, model=1),
 )

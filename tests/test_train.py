@@ -370,3 +370,88 @@ class TestTrainerEval:
         # best is never pruned by numeric keep
         latest = restore_checkpoint(ckpt, template)
         assert int(latest.step) == 4
+
+
+class TestStaging:
+    """r5 staging rework: HBM-resident device bank + index-only staging, and
+    the background staging thread — both must be invisible to training
+    results (the index stream is stateless; gather commutes with upload)."""
+
+    def test_index_stack_matches_batch_stack(self):
+        ds = get_dataset(tiny_config().data, "train")
+        idx = ds.index_stack(3, 16, seed=7, start_step=5)
+        assert idx.shape == (3, 16) and idx.dtype == np.int32
+        rays, pix = ds.batch_stack(3, 16, seed=7, start_step=5)
+        np.testing.assert_array_equal(ds.pixels[idx], pix)
+        for bank_leaf, leaf in zip(list(ds.rays), list(rays)):
+            np.testing.assert_array_equal(bank_leaf[idx], leaf)
+
+    def test_index_stack_local_shards_reassemble(self):
+        ds = get_dataset(tiny_config().data, "train")
+        full = ds.index_stack(2, 8, seed=3, start_step=11)
+        shards = [ds.index_stack_local(2, 8, 3, 11, p, 4) for p in range(4)]
+        np.testing.assert_array_equal(np.concatenate(shards, axis=1), full)
+
+    def test_banked_loop_matches_host_loop(self):
+        from mipnerf360_tpu.parallel.mesh import (shard_batch_stack,
+                                                  shard_index_stack,
+                                                  upload_bank)
+        from mipnerf360_tpu.train.step import make_banked_train_loop
+
+        cfg = tiny_config()
+        mesh = make_mesh(1, 1)
+        ds = get_dataset(cfg.data, "train")
+        state = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        state = state._replace(params=shard_params(mesh, state.params))
+        K, B = 4, cfg.train.batch_size
+        r, p = ds.batch_stack(K, B, cfg.train.seed, 0)
+        s_host, aux_h = make_train_loop(cfg, mesh, donate=False)(
+            state, *shard_batch_stack(mesh, r, p))
+        bank = upload_bank(mesh, ds.rays, ds.pixels)
+        idx = shard_index_stack(mesh, ds.index_stack(K, B, cfg.train.seed, 0))
+        s_bank, aux_b = make_banked_train_loop(cfg, mesh, donate=False)(
+            state, *bank, idx)
+        np.testing.assert_allclose(np.asarray(aux_h["loss"]),
+                                   np.asarray(aux_b["loss"]), atol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6),
+            s_host.params, s_bank.params)
+
+    def test_trainer_stage_modes_equivalent(self, tmp_path):
+        from mipnerf360_tpu.train.trainer import train
+
+        results = {}
+        for mode, async_ in (("host", False), ("device_bank", True)):
+            cfg = tiny_config()
+            cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+                cfg.train, max_steps=6, log_every=3, save_every=0,
+                eval_every=0, stage_mode=mode, async_staging=async_,
+                checkpoint_dir=str(tmp_path / mode)))
+            results[mode] = jax.device_get(train(cfg).params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            results["host"], results["device_bank"])
+
+    def test_background_stager_order_and_errors(self):
+        from mipnerf360_tpu.train.trainer import BackgroundStager, chunk_starts
+
+        starts = list(chunk_starts(7, 50, 10))
+        assert starts == [7, 10, 20, 30, 40]
+        stager = BackgroundStager(lambda s: s * 2, starts, depth=2)
+        got = []
+        while True:
+            item = stager.get()
+            if item is None:
+                break
+            got.append(item)
+        assert got == [s * 2 for s in starts]
+        stager.close()
+
+        def boom(s):
+            raise RuntimeError("stage failed")
+
+        stager = BackgroundStager(boom, [1], depth=2)
+        with pytest.raises(RuntimeError, match="stage failed"):
+            stager.get()
+        stager.close()
