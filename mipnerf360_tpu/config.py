@@ -199,8 +199,9 @@ class DataConfig:
     # and generate_render_poses (dataset.py:75-89): a synthesized camera
     # path, spiral (spherify=False) or spherical (spherify=True), rendered
     # at a fixed resolution/focal independent of the training images.
-    # LLFF/nerf_360 ignore these: their render paths are fit to the scene's
-    # recentered training poses (data/llff.py).
+    # LLFF/nerf_360 use only n_render_poses of these (their path SHAPE is
+    # fit to the scene's recentered training poses, data/llff.py; the
+    # spherify choice comes from the dataset family, not render_spherify).
     n_render_poses: int = 120
     render_spherify: bool = False
     render_radius: float = 4.0       # spherical-path orbit radius
@@ -347,10 +348,17 @@ def bicycle_multihost_quality() -> Config:
     convergence + video render recorded in PRESET_VALIDATION_r5.json."""
     cfg = bicycle_multihost()
     cfg = dataclasses.replace(cfg, preset="bicycle_multihost_quality")
+    # use_ndc=False: the parity preset inherits the reference's quirk of
+    # pushing inward-facing 360 rays through the forward-facing NDC
+    # projection (its LLFF loader is NDC-only, dataset.py:364-387 — sideways
+    # rays divide by dz ~ 0). The CONVERGING operating point uses the
+    # paper's 360 regime instead: metric rays with near/far from
+    # poses_bounds and contract() handling the far field (llff.py:151-159).
     return _replace(cfg, model=dict(QUALITY_MODEL, white_bkgd=False,
                                     ray_shape="cylinder"),
                     train=dict(QUALITY_TRAIN, eval_image_every=1000,
-                               eval_image_views=4))
+                               eval_image_views=4),
+                    data=dict(use_ndc=False))
 
 
 def garden_quality() -> Config:

@@ -18,8 +18,10 @@ def get_dataset(cfg: DataConfig, split: str = "train") -> RayDataset:
     if name == "blender":
         return load_blender(cfg, split)
     if name == "llff":
-        return load_llff(cfg, split, spherify=False)
+        return load_llff(cfg, split, spherify=False,
+                         n_render_poses=cfg.n_render_poses)
     if name == "nerf_360":
         # nerf_360 uses the LLFF loader; unbounded handling lives in contract()
-        return load_llff(cfg, split, spherify=(split == "render"))
+        return load_llff(cfg, split, spherify=(split == "render"),
+                         n_render_poses=cfg.n_render_poses)
     raise ValueError(f"unknown dataset {name!r}")

@@ -50,10 +50,17 @@ def _test_angles(n_views: int) -> np.ndarray:
     return train[picks] + 0.5 * step
 
 
-def _shade_sphere(origins, viewdirs, sphere_radius: float = 1.0):
-    """Analytic render: lambertian sphere at origin, white background.
+def _shade_sphere(origins, viewdirs, sphere_radius: float = 1.0,
+                  background: float = 1.0):
+    """Analytic render: lambertian sphere at origin on a constant background.
 
     origins/viewdirs: [..., 3] -> rgb [..., 3] float32 in [0, 1].
+    ``background``: 1.0 (white) pairs with white_bkgd=True regimes (blender);
+    0.0 (black = empty space) pairs with white_bkgd=False regimes
+    (llff/nerf_360), where zero density is the geometrically consistent
+    explanation of background pixels — a white background there forces the
+    model to build white fog-geometry and degenerates into view memorization
+    (measured: 40 dB train / 13 dB holdout on the r5 LLFF stand-in).
     """
     o = origins
     d = viewdirs
@@ -70,8 +77,8 @@ def _shade_sphere(origins, viewdirs, sphere_radius: float = 1.0):
     lambert = np.clip(np.sum(n * light, axis=-1), 0.0, 1.0)
     base = 0.5 * (n + 1.0)  # normal-coded albedo: view-consistent color
     rgb = base * (0.25 + 0.75 * lambert[..., None])
-    white = np.ones_like(rgb)
-    return np.where(hit[..., None], rgb, white).astype(np.float32)
+    bg = np.full_like(rgb, background)
+    return np.where(hit[..., None], rgb, bg).astype(np.float32)
 
 
 def synthetic_dataset(cfg: DataConfig, split: str = "train") -> RayDataset:

@@ -325,3 +325,57 @@ class TestViz:
         depth = np.linspace(1, 5, 64).reshape(8, 8)
         vis = visualize_normals(depth, np.ones((8, 8)))
         assert vis.shape == (8, 8, 3)
+
+
+class TestLLFFExportStandIn:
+    """tools/parity_psnr.export_llff_scene -> data/llff loader roundtrip.
+
+    The exported procedural scene is the stand-in for the llff_fern_quality
+    and bicycle_multihost_quality live validations (PRESET_VALIDATION_r5);
+    a pose-convention error in the export (reference dataset.py:212-241
+    defines the on-disk [down, right, back] columns) would silently train on
+    inconsistent geometry, so assert consistency after the loader's
+    axis-swap/rescale/recenter."""
+
+    def test_center_rays_converge_on_scene_center(self, tmp_path):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        from parity_psnr import export_llff_scene
+
+        out = export_llff_scene(str(tmp_path / "scene"), res=32, n_views=16)
+        cfg = DataConfig(dataset="nerf_360", base_dir=out, factor=1,
+                         use_ndc=False)
+        ds = get_dataset(cfg, "train")
+        assert ds.h == ds.w == 32
+        assert ds.n_images == 14  # every-8th of 16 held out
+        test_ds = get_dataset(cfg, "test")
+        assert test_ds.n_images == 2
+        # Every camera looks AT the sphere, so per-view center-pixel rays
+        # must (nearly) intersect at one common point — the recentered,
+        # rescaled sphere center. Solve the least-squares intersection and
+        # bound each ray's distance to it; axis/sign errors in the export
+        # convention scatter the rays and blow this up by orders of
+        # magnitude.
+        per = ds.h * ds.w
+        ctr = (ds.h // 2) * ds.w + ds.w // 2
+        o = ds.rays.origins[ctr::per]
+        d = ds.rays.viewdirs[ctr::per]
+        A = np.zeros((3, 3))
+        b = np.zeros(3)
+        for oi, di in zip(o, d):
+            P = np.eye(3) - np.outer(di, di)
+            A += P
+            b += P @ oi
+        p = np.linalg.solve(A, b)
+        miss = [float(np.linalg.norm((np.eye(3) - np.outer(di, di)) @ (p - oi)))
+                for oi, di in zip(o, d)]
+        cam_dist = np.linalg.norm(o - np.asarray(p), axis=-1)
+        assert max(miss) < 0.05 * float(cam_dist.min()), (max(miss), cam_dist)
+        # metric bounds bracket the scene: the convergence point's depth lies
+        # strictly inside [near, far] on every center ray
+        depth = np.einsum("ij,ij->i", np.asarray(p) - o, d)
+        assert np.all(depth > ds.near) and np.all(depth < ds.far)

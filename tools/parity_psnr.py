@@ -74,6 +74,53 @@ def export_blender_scene(out_dir: str, res: int, n_train: int = 28,
     return out_dir
 
 
+def export_llff_scene(out_dir: str, res: int = 64, n_views: int = 32):
+    """Export the procedural sphere scene as an on-disk LLFF dataset:
+    ``images/`` + ``poses_bounds.npy`` — the stand-in for llff/nerf_360
+    scenes (no real data ships in this environment).
+
+    Format being produced (reference dataset.py:212-262): each row is a
+    flattened 3x5 matrix — rotation columns in the [down, right, back]
+    convention, camera position, and an [h, w, focal] column — followed by
+    the [near, far] METRIC depth bounds (dataset.py:252-258). Our internal
+    poses are [right, up, back] (data/rays_gen.py), so disk columns are
+    (-up, right, back); the loader's axis-swap (data/llff.py:42-44) inverts
+    exactly this. Bounds bracket the sphere surface (camera distance d ->
+    [d-1.3, d+2.0]) with room behind it. The background is BLACK (empty
+    space): the llff/nerf_360 regime trains with white_bkgd=False, where
+    zero density is the consistent explanation of background pixels — a
+    white background forces white fog-geometry and measurably degenerates
+    into view memorization (see data/synthetic._shade_sphere).
+    """
+    from PIL import Image
+
+    from mipnerf360_tpu.data.rays_gen import pinhole_rays
+    from mipnerf360_tpu.data.synthetic import (_orbit_poses_at, _shade_sphere,
+                                               _train_angles)
+
+    focal = 0.9 * res
+    poses = _orbit_poses_at(_train_angles(n_views))   # [N, 3, 4]
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rays = pinhole_rays(poses, res, res, focal, 2.0, 6.0)
+    rgb = _shade_sphere(rays.origins, rays.viewdirs,
+                        background=0.0)               # [N, H, W, 3]
+    rows = []
+    for i in range(n_views):
+        Image.fromarray(
+            np.clip(rgb[i] * 255 + 0.5, 0, 255).astype(np.uint8)).save(
+            os.path.join(img_dir, f"image{i:03d}.png"))
+        right, up, back, t = (poses[i][:, j] for j in range(4))
+        disk = np.stack(
+            [-up, right, back, t,
+             np.array([res, res, focal], np.float64)], axis=1)   # 3x5
+        d = float(np.linalg.norm(t))
+        rows.append(np.concatenate([disk.reshape(-1), [d - 1.3, d + 2.0]]))
+    np.save(os.path.join(out_dir, "poses_bounds.npy"),
+            np.asarray(rows, np.float64))
+    return out_dir
+
+
 def parse_reference_log(log_path: str):
     """Parse the reference's per-step prints from a (possibly partial) log."""
     with open(log_path) as f:
