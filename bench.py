@@ -278,10 +278,15 @@ def main():
     quality_rps, qcfg = measure(quality=True, staging=False)
     e2e_rps, _ = measure(quality=True, staging=True)
     tflops = 3.0 * matmul_flops_per_ray(qcfg.model) * e2e_rps / 1e12
-    # Round-3 recorded values for regression tracking (BENCH_r03.json +
-    # PROFILE_r3.json): parity-compute 49,842; quality-compute 47,800;
-    # parity-staging 44,900. quality-staging had no recorded r03 row.
+    # Prior-round recorded values for regression tracking: r03 (BENCH_r03 +
+    # PROFILE_r3; quality-staging had no r03 row) and r04 (BENCH_r04 — its
+    # staging row predates the r5 device-bank path, so vs_r04 on
+    # quality_staging doubles as the staging-rework gain).
     r03 = {"parity_compute": 49842.0, "quality_compute": 47800.0}
+    r04 = {"parity_compute": 49886.9, "quality_compute": 47853.1,
+           "quality_staging": 46556.6}
+    measured = {"parity_compute": parity_rps, "quality_compute": quality_rps,
+                "quality_staging": e2e_rps}
     out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(e2e_rps, 1),
@@ -293,9 +298,8 @@ def main():
             "quality_compute": round(quality_rps, 1),
             "quality_staging": round(e2e_rps, 1),
             "mfu_matmul_headline": round(tflops / PEAK_TFLOPS_BF16, 3),
-            "vs_r03": {k: round(
-                (parity_rps if k == "parity_compute" else quality_rps) / v, 3)
-                for k, v in r03.items()},
+            "vs_r03": {k: round(measured[k] / v, 3) for k, v in r03.items()},
+            "vs_r04": {k: round(measured[k] / v, 3) for k, v in r04.items()},
         },
     }
     print(json.dumps(out))

@@ -74,8 +74,31 @@ loss_b, ck_b = run(*stage_batch(mesh, dataset, K, B, cfg.train.seed, 0))
 assert np.array_equal(loss_a, loss_b), (loss_a, loss_b)
 assert ck_a == ck_b, (ck_a, ck_b)
 
+# Path C — the r5 device-bank path under REAL multi-process collectives:
+# the dataset uploaded REPLICATED via make_array_from_process_local_data
+# (each process passes the full arrays), per-process index shards gathered
+# ON DEVICE inside the scanned loop. Tolerance (not bit-equality) against
+# Path A: the banked program's fused gather may reassociate f32 reductions.
+from mipnerf360_tpu.parallel.mesh import shard_index_stack_local, upload_bank  # noqa: E402
+from mipnerf360_tpu.train.step import make_banked_train_loop  # noqa: E402
+
+bank = upload_bank(mesh, dataset.rays, dataset.pixels)
+idx = dataset.index_stack_local(K, B, cfg.train.seed, 0,
+                                jax.process_index(), jax.process_count())
+idx = shard_index_stack_local(mesh, idx)
+state_c = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+state_c = state_c._replace(params=shard_params(mesh, state_c.params))
+loop_c = make_banked_train_loop(cfg, mesh, donate=False)
+state_c, aux_c = loop_c(state_c, *bank, idx)
+loss_c = np.asarray(jax.device_get(aux_c["loss"]))
+w0_c = state_c.params["nerf"]["trunk"]["layers"][0]["w"]
+ck_c = float(jax.device_get(jax.numpy.sum(jax.numpy.abs(w0_c))))
+assert np.allclose(loss_a, loss_c, atol=1e-5), (loss_a, loss_c)
+assert abs(ck_a - ck_c) < 1e-3 * max(1.0, abs(ck_a)), (ck_a, ck_c)
+
 # and all processes agree bit-exactly
-sums = multihost_utils.process_allgather(np.array([ck_b], np.float64))
-assert np.all(sums == sums.ravel()[0]), sums
+sums = multihost_utils.process_allgather(
+    np.array([ck_b, ck_c], np.float64))
+assert np.all(sums == sums[0]), sums
 print(f"RESULT pid={pid} loss={loss_b.tolist()} checksum={ck_b}", flush=True)
 print(f"OK pid={pid}", flush=True)
