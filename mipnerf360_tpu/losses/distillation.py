@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 
 
-def weight_bounds_einsum(t_fine, w_fine, t_coarse):
-    """O(Nc*Nf) overlap-mask oracle for ``weight_bounds``.
+def weight_bounds_einsum(t_fine, w_fine, t_coarse, data_shards: int = 1):
+    """O(Nc*Nf) overlap-mask oracle for ``weight_bounds``. ``data_shards``
+    is ignored — accepted so the forced variants (tools/ab_step.py) stay
+    call-compatible with the dispatching ``weight_bounds``.
 
     Materializes the full [..., Nc, Nf] overlap tensor (64 MiB of bool at
     B=4096, N=64 — the largest transient in the step, growing quadratically
@@ -44,11 +46,12 @@ def _searchsorted(a, v, side: str):
     return out.reshape(v.shape)
 
 
-def weight_bounds_banded(t_fine, w_fine, t_coarse):
+def weight_bounds_banded(t_fine, w_fine, t_coarse, data_shards: int = 1):
     """For each coarse interval, sum the fine weights of overlapping intervals.
 
     t_fine: [..., Nf+1]; w_fine: [..., Nf]; t_coarse: [..., Nc+1].
-    Returns bounds [..., Nc] (stop-gradient applied).
+    Returns bounds [..., Nc] (stop-gradient applied). ``data_shards`` is
+    ignored (call-compatibility with the dispatching ``weight_bounds``).
 
     Both grids are sorted per ray, so the fine intervals overlapping a coarse
     interval form a contiguous run: with prefix sums S of w_fine,

@@ -56,10 +56,13 @@ def main():
     import mipnerf360_tpu.ops.fused as fused_mod
 
     if variant == "no_distortion":
-        dist_mod.distortion_loss = lambda s, w, reduction="sum": jnp.sum(w) * 0.0
+        dist_mod.distortion_loss = (
+            lambda s, w, reduction="sum", **kw: jnp.sum(w) * 0.0)
     elif variant == "no_distillation":
+        # **kw: keyword-only knobs (collapsed=, data_shards=, ...) must not
+        # TypeError the stub when the production signature grows (advisor r4)
         dill_mod.distillation_loss = (
-            lambda tf, wf, tc, wc, collapsed=False: jnp.sum(wc) * 0.0)
+            lambda tf, wf, tc, wc, **kw: jnp.sum(wc) * 0.0)
     elif variant == "bounds_einsum":
         dill_mod.weight_bounds = dill_mod.weight_bounds_einsum
     elif variant == "bounds_banded":
