@@ -455,3 +455,24 @@ class TestStaging:
         with pytest.raises(RuntimeError, match="stage failed"):
             stager.get()
         stager.close()
+
+    def test_use_device_bank_resolution(self):
+        from mipnerf360_tpu.train import trainer as tr
+
+        cfg = tiny_config()
+        ds = get_dataset(cfg.data, "train")
+        assert tr.use_device_bank(cfg, ds)  # tiny bank under the auto budget
+
+        def with_mode(mode):
+            return dataclasses.replace(cfg, train=dataclasses.replace(
+                cfg.train, stage_mode=mode))
+
+        assert not tr.use_device_bank(with_mode("host"), ds)
+        assert tr.use_device_bank(with_mode("device_bank"), ds)
+        old = tr._BANK_AUTO_BYTES
+        try:
+            tr._BANK_AUTO_BYTES = 10  # bank no longer "fits"
+            assert not tr.use_device_bank(cfg, ds)
+            assert tr.use_device_bank(with_mode("device_bank"), ds)  # forced
+        finally:
+            tr._BANK_AUTO_BYTES = old
