@@ -373,9 +373,19 @@ def garden_quality() -> Config:
     # eval_image_every + keep_best so `apps.eval --step best` (demo_360.sh)
     # has a best-eval checkpoint; 4 fixed views bounds the eval cost on the
     # real scene's large test split.
+    #
+    # use_ndc=False (r5): the parity `garden` preset keeps the reference's
+    # quirk of pushing inward-facing 360 rays through the forward-facing NDC
+    # projection (dataset.py:364-387). MEASURED on the 360 stand-in scene
+    # the quirk NaNs the quality model within 2k steps (sideways rays divide
+    # by dz~0; PRESET_VALIDATION_r5.json "garden_quality_ndc_ablation") —
+    # the converging preset uses the paper's regime: metric near/far from
+    # poses_bounds + contract() (llff.py:151-159), like
+    # bicycle_multihost_quality.
     return _replace(cfg, model=dict(QUALITY_MODEL, white_bkgd=False),
                     train=dict(QUALITY_TRAIN, batch_size=4096,
-                               eval_image_every=1000, eval_image_views=4))
+                               eval_image_every=1000, eval_image_views=4),
+                    data=dict(use_ndc=False))
 
 
 def blender_lego_quality() -> Config:
