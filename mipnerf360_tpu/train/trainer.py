@@ -350,6 +350,7 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     preempted, restore_signals = install_preemption_handler()
     ckpt_writer = AsyncCheckpointer()
     eval_fn = None  # built lazily (jitted once) on the first eval boundary
+    nonfinite_warned = False
     # Batch staging: background double-buffered thread by default (assembly +
     # upload overlap device compute AND the main thread's device_get sync);
     # train.async_staging=False falls back to inline staging on this thread
@@ -391,6 +392,18 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             # with the same staging path; single-transfer sync closes it).
             aux_host = {name: float(v) for name, v in jax.device_get(
                 {name: v[-1] for name, v in aux.items()}).items()}
+            if not nonfinite_warned and not all(
+                    np.isfinite(v) for v in aux_host.values()):
+                # Loud once-per-run notice: a NaN loss usually means training
+                # is dead from here on (observed live: the NDC-quirk-on-360
+                # run trained 400 more steps on loss=nan before r5 noticed).
+                # train.check_nans=True escalates to an abort with the
+                # offending param paths.
+                nonfinite_warned = True
+                bad = {n: v for n, v in aux_host.items() if not np.isfinite(v)}
+                print(f"[warn] non-finite training metrics at step "
+                      f"{step + k}: {bad} — training is likely dead; set "
+                      "train.check_nans=true to abort with offending params")
             if cfg.train.check_nans:
                 from ..utils.checks import assert_tree_finite
 
