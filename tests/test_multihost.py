@@ -19,13 +19,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(worker: str, nproc: int = 2):
+def _run_workers(worker: str, nproc: int = 2, extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(nproc), str(port)],
+            [sys.executable, worker, str(pid), str(nproc), str(port),
+             *extra_args],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(nproc)
@@ -53,3 +54,15 @@ def test_two_process_staging_parity():
     """The trainer's per-process staging (stage_batch with process_count > 1)
     must produce bit-identical training to full-global-stack assembly."""
     _run_workers(STAGING_WORKER)
+
+
+def test_two_process_full_trainer(tmp_path):
+    """The REAL trainer loop (train/trainer.py::train) end-to-end under
+    2-process collectives: device-bank staging, background staging thread,
+    host-0-only metrics/checkpoint writes, final checkpoint restorable."""
+    ckpt = str(tmp_path / "run")
+    _run_workers(os.path.join(REPO, "tests", "_multihost_trainer_worker.py"),
+                 extra_args=(ckpt,))
+    wrote = set(os.listdir(ckpt))
+    assert "metrics.jsonl" in wrote and "config.json" in wrote, wrote
+    assert any(f.startswith("ckpt_") for f in wrote), wrote
