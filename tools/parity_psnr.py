@@ -74,7 +74,8 @@ def export_blender_scene(out_dir: str, res: int, n_train: int = 28,
     return out_dir
 
 
-def export_llff_scene(out_dir: str, res: int = 64, n_views: int = 32):
+def export_llff_scene(out_dir: str, res: int = 64, n_views: int = 32,
+                      arc_degrees: float = None):
     """Export the procedural sphere scene as an on-disk LLFF dataset:
     ``images/`` + ``poses_bounds.npy`` — the stand-in for llff/nerf_360
     scenes (no real data ships in this environment).
@@ -91,6 +92,13 @@ def export_llff_scene(out_dir: str, res: int = 64, n_views: int = 32):
     zero density is the consistent explanation of background pixels — a
     white background forces white fog-geometry and measurably degenerates
     into view memorization (see data/synthetic._shade_sphere).
+
+    ``arc_degrees``: None exports a full 360 orbit (the nerf_360/spherify
+    regime). A value (e.g. 30) restricts cameras to that azimuth arc — a
+    FORWARD-FACING capture like the real fern, the geometry the spiral
+    render path (dataset.py:337-362) is constructed for (on a 360 orbit
+    the averaged pose degenerates and spiral cameras stare into empty
+    space — measured, r5).
     """
     from PIL import Image
 
@@ -99,7 +107,12 @@ def export_llff_scene(out_dir: str, res: int = 64, n_views: int = 32):
                                                _train_angles)
 
     focal = 0.9 * res
-    poses = _orbit_poses_at(_train_angles(n_views))   # [N, 3, 4]
+    if arc_degrees is None:
+        angles = _train_angles(n_views)
+    else:
+        half = np.deg2rad(arc_degrees) / 2.0
+        angles = np.linspace(-half, half, n_views)
+    poses = _orbit_poses_at(angles)                   # [N, 3, 4]
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
     rays = pinhole_rays(poses, res, res, focal, 2.0, 6.0)
