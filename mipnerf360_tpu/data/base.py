@@ -122,6 +122,47 @@ class RayDataset:
             yield self.image(i)
 
 
+@dataclass
+class LazyRenderDataset:
+    """Pixel-less render split that generates each pose's rays ON DEMAND.
+
+    A materialized render split holds EVERY pose's rays in host RAM at once
+    (the reference does the same for all splits, dataset.py:147-152 — a
+    120-pose factor-4 nerf_360 render is ~5 GB of host rays); the video
+    renderer only ever touches one pose at a time, so ``image(i)`` generates
+    pose i's rays when asked (tens of MB live). The ``rays`` property
+    materializes the whole split for consumers that really want the flat
+    array (tests, ad-hoc analysis) — that is the old memory behavior,
+    opted into explicitly.
+    """
+    poses: np.ndarray          # [P, 3, 4] camera-to-world
+    ray_fn: "callable"         # [k, 3, 4] poses -> flat Rays [k*H*W, c]
+    h: int
+    w: int
+    near: float
+    far: float
+    pixels: Optional[np.ndarray] = None   # always None (no ground truth)
+
+    @property
+    def n_images(self) -> int:
+        return self.poses.shape[0]
+
+    @property
+    def n_rays(self) -> int:
+        return self.n_images * self.h * self.w
+
+    @property
+    def rays(self) -> Rays:
+        return self.ray_fn(self.poses)
+
+    def image(self, i: int) -> Tuple[Rays, None]:
+        return self.ray_fn(self.poses[i:i + 1]), None
+
+    def images(self):
+        for i in range(self.n_images):
+            yield self.image(i)
+
+
 def flatten_images(rays: Rays, images: Optional[np.ndarray]) -> Tuple[Rays, Optional[np.ndarray]]:
     """[P, H, W, c] -> [P*H*W, c] (dataset.py:147-152)."""
     flat_rays = rays_map(lambda x: np.ascontiguousarray(

@@ -126,10 +126,28 @@ def load_llff(cfg: DataConfig, split: str = "train", spherify: bool = False,
             render = _spherify_render_poses(poses, bds, n_render_poses)
         else:
             render = _spiral_render_poses(poses, bds, n_render_poses)
-        cam_to_world = render[:, :3, :4]
-        focal = poses[0, -1, -1]
-        images = None
-        n_images = cam_to_world.shape[0]
+        cam_to_world = np.ascontiguousarray(
+            render[:, :3, :4], dtype=np.float32)
+        focal = float(poses[0, -1, -1])
+        if cfg.use_ndc:
+            near, far = cfg.near, cfg.far
+
+            def ray_fn(p):
+                r = pinhole_rays(p, h, w, focal, near, far)
+                r = ndc_rays(r, focal, w, h, near, far)
+                return flatten_images(r, None)[0]
+        else:
+            near = float(bds.min() * 0.9)
+            far = float(bds.max())
+
+            def ray_fn(p):
+                r = pinhole_rays(p, h, w, focal, near, far)
+                return flatten_images(r, None)[0]
+
+        from .base import LazyRenderDataset
+
+        return LazyRenderDataset(poses=cam_to_world, ray_fn=ray_fn, h=h, w=w,
+                                 near=near, far=far)
     else:
         all_idx = np.arange(images.shape[0])
         test_idx = all_idx[::8]     # every-8th-frame holdout (dataset.py:271-277)

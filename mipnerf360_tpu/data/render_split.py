@@ -15,13 +15,14 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import DataConfig
-from .base import RayDataset, flatten_images
+from .base import LazyRenderDataset, flatten_images
 from .pose import spherical_path, spiral_path
 from .rays_gen import pinhole_rays
 
 
-def render_path_dataset(cfg: DataConfig) -> RayDataset:
-    """Build the pixel-less render-split dataset from DataConfig."""
+def render_path_dataset(cfg: DataConfig) -> LazyRenderDataset:
+    """Build the pixel-less render-split dataset from DataConfig (lazy:
+    rays are generated per pose as the video renderer asks for them)."""
     if cfg.render_spherify:
         poses = spherical_path(cfg.render_radius, cfg.n_render_poses)
     else:
@@ -30,9 +31,10 @@ def render_path_dataset(cfg: DataConfig) -> RayDataset:
     cam_to_world = np.asarray(poses, dtype=np.float32)[:, :3, :4]
 
     h, w = cfg.render_h, cfg.render_w
-    rays = pinhole_rays(cam_to_world, h, w, cfg.render_focal,
-                        cfg.near, cfg.far)
-    flat_rays, _ = flatten_images(rays, None)
-    return RayDataset(rays=flat_rays, pixels=None, h=h, w=w,
-                      near=cfg.near, far=cfg.far,
-                      n_images=cam_to_world.shape[0])
+
+    def ray_fn(p):
+        rays = pinhole_rays(p, h, w, cfg.render_focal, cfg.near, cfg.far)
+        return flatten_images(rays, None)[0]
+
+    return LazyRenderDataset(poses=cam_to_world, ray_fn=ray_fn, h=h, w=w,
+                             near=cfg.near, far=cfg.far)

@@ -89,15 +89,20 @@ def synthetic_dataset(cfg: DataConfig, split: str = "train") -> RayDataset:
         # Synthesized spherical orbit at the scene's own resolution/intrinsics
         # (the procedural scene is a 360 orbit — the reference's spiral path
         # is for forward-facing scenes). Uses the same path synthesis as the
-        # blender render split (data/pose.py, reference pose.py:34-77).
+        # blender render split (data/pose.py, reference pose.py:34-77);
+        # lazy per-pose ray generation like every render split.
+        from .base import LazyRenderDataset
         from .pose import spherical_path
 
         poses = spherical_path(cfg.render_radius, n_views)[:, :3, :4]
-        rays = pinhole_rays(poses.astype(np.float32), res, res, focal,
-                            cfg.near, cfg.far)
-        flat_rays, _ = flatten_images(rays, None)
-        return RayDataset(rays=flat_rays, pixels=None, h=res, w=res,
-                          near=cfg.near, far=cfg.far, n_images=n_views)
+        poses = np.ascontiguousarray(poses, dtype=np.float32)
+
+        def ray_fn(p):
+            rays = pinhole_rays(p, res, res, focal, cfg.near, cfg.far)
+            return flatten_images(rays, None)[0]
+
+        return LazyRenderDataset(poses=poses, ray_fn=ray_fn, h=res, w=res,
+                                 near=cfg.near, far=cfg.far)
     # train/test orbit phases are interleaved and provably disjoint
     # (test angles are train-interval midpoints; see _test_angles)
     angles = (_train_angles(n_views) if split == "train"

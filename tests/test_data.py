@@ -379,3 +379,22 @@ class TestLLFFExportStandIn:
         # strictly inside [near, far] on every center ray
         depth = np.einsum("ij,ij->i", np.asarray(p) - o, d)
         assert np.all(depth > ds.near) and np.all(depth < ds.far)
+
+
+class TestLazyRenderSplit:
+    def test_lazy_image_matches_materialized_slice(self):
+        """LazyRenderDataset.image(i) must equal rows [i*H*W, (i+1)*H*W) of
+        the materialized .rays — lazy generation changes memory behavior,
+        not values (the video renderer consumes image(); tests consume
+        .rays)."""
+        cfg = DataConfig(dataset="synthetic", synthetic_resolution=8,
+                         synthetic_views=3, render_radius=4.0)
+        ds = get_dataset(cfg, "render")
+        full = ds.rays
+        per = ds.h * ds.w
+        assert ds.n_rays == 3 * per
+        for i in range(ds.n_images):
+            rays_i, pix = ds.image(i)
+            assert pix is None
+            for a, b in zip(list(rays_i), list(full)):
+                np.testing.assert_array_equal(a, b[i * per:(i + 1) * per])
