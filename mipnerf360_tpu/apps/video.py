@@ -29,14 +29,26 @@ def _write_video(path: str, frames, fps: int = 30):
 
         imageio.mimwrite(path, frames, fps=fps, quality=10)
         print(f"wrote {path}")
-    except Exception as e:  # no ffmpeg in this image -> dump frames
+        return
+    except Exception as e:  # no ffmpeg in this image
+        mp4_err = e
+    try:
+        # Dependency-free MJPEG AVI (utils/video_io.py): a real playable
+        # video file, needing only PIL's JPEG encoder.
+        from ..utils.video_io import write_mjpeg_avi
+
+        avi = os.path.splitext(path)[0] + ".avi"
+        write_mjpeg_avi(avi, frames, fps=fps)
+        print(f"mp4 writer unavailable ({mp4_err}); wrote MJPEG {avi}")
+    except Exception as e:  # last resort: dump frames
         frame_dir = path + ".frames"
         os.makedirs(frame_dir, exist_ok=True)
         from PIL import Image
 
         for i, f in enumerate(frames):
             Image.fromarray(f).save(os.path.join(frame_dir, f"{i:04d}.png"))
-        print(f"imageio unavailable ({e}); wrote frames to {frame_dir}")
+        print(f"video writers unavailable ({mp4_err}; {e}); "
+              f"wrote frames to {frame_dir}")
 
 
 def main():
