@@ -120,6 +120,24 @@ def main():
         if lpipss:
             print(f"mean LPIPS over {len(lpipss)} views: "
                   f"{np.mean(lpipss):.4f}")
+        # Machine-readable summary next to the rendered PNGs (tooling /
+        # driver consumption; the prints above are the human view).
+        import json
+
+        summary = {
+            "step": int(state.step),
+            "n_views": len(psnrs),
+            "mean_psnr": float(np.mean(psnrs)),
+            "per_view_psnr": [float(p) for p in psnrs],
+        }
+        if all(s is not None for s in ssims):
+            summary["mean_ssim"] = float(np.mean(ssims))
+            summary["per_view_ssim"] = [float(s) for s in ssims]
+        if lpipss:
+            summary["mean_lpips"] = float(np.mean(lpipss))
+        with open(os.path.join(out_dir, "eval.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"wrote {os.path.join(out_dir, 'eval.json')}")
 
 
 if __name__ == "__main__":

@@ -69,11 +69,13 @@ def test_video_app_writes_frames(trained_ckpt):
         video_app.main()
     finally:
         sys.argv = old
-    # mp4 when ffmpeg exists, PNG frame dir otherwise — either counts.
+    # mp4 when ffmpeg exists, the MJPEG-AVI fallback otherwise (r5,
+    # utils/video_io.py), PNG frame dir as the last resort.
     has_mp4 = os.path.exists(os.path.join(out, "video.mp4"))
+    has_avi = os.path.exists(os.path.join(out, "video.avi"))
     frames = os.path.join(out, "video.mp4.frames")
     has_frames = os.path.isdir(frames) and len(os.listdir(frames)) > 0
-    assert has_mp4 or has_frames
+    assert has_mp4 or has_avi or has_frames
 
 
 def test_video_app_end_to_end_on_blender_scene(tmp_path):
@@ -130,9 +132,15 @@ def test_video_app_end_to_end_on_blender_scene(tmp_path):
     finally:
         sys.argv = old
     has_mp4 = os.path.exists(os.path.join(out, "video.mp4"))
+    avi = os.path.join(out, "video.avi")
+    has_avi = False
+    if os.path.exists(avi):
+        from mipnerf360_tpu.utils.video_io import read_mjpeg_avi
+
+        has_avi = len(read_mjpeg_avi(avi)) == 2
     frames_dir = os.path.join(out, "video.mp4.frames")
     has_frames = os.path.isdir(frames_dir) and len(os.listdir(frames_dir)) == 2
-    assert has_mp4 or has_frames
+    assert has_mp4 or has_avi or has_frames
 
 
 def test_eval_app_config_autoload_matches_train(trained_ckpt):
