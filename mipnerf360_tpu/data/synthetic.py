@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import DataConfig
-from ..core.rays import Rays
 from .base import RayDataset, flatten_images
 from .pose import look_at, normalize
 from .rays_gen import pinhole_rays

@@ -26,7 +26,6 @@ import functools
 from typing import Any, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ..config import Config
 from ..core.rays import Rays

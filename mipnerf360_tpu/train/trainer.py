@@ -20,10 +20,10 @@ from ..core.rays import Rays
 from ..data import get_dataset
 from ..losses.photometric import photometric_loss
 from ..models.mipnerf360 import render_rays
-from ..parallel.mesh import (batch_sharding, make_mesh, shard_batch,
-                             shard_batch_stack, shard_batch_stack_local,
-                             shard_index_stack, shard_index_stack_local,
-                             shard_params, upload_bank)
+from ..parallel.mesh import (make_mesh, shard_batch, shard_batch_stack,
+                             shard_batch_stack_local, shard_index_stack,
+                             shard_index_stack_local, shard_params,
+                             upload_bank)
 from ..utils.logging import MetricsLogger, Timer
 from .checkpoint import (AsyncCheckpointer, latest_checkpoint_step,
                          restore_checkpoint, save_checkpoint)
