@@ -43,6 +43,11 @@ def load_blender(cfg: DataConfig, split: str = "train",
 
         return render_path_dataset(cfg)
 
+    if split == "visualize":
+        # reference alias: its test.py renders split="visualize", which the
+        # base class maps onto the held-out image path (dataset.py:22-24,
+        # 59-66); for blender that is the test split.
+        split = "test"
     base = cfg.base_dir or os.path.join("data/nerf_synthetic", cfg.scene)
     with open(os.path.join(base, f"transforms_{split}.json")) as fp:
         meta = json.load(fp)

@@ -398,3 +398,14 @@ class TestLazyRenderSplit:
             assert pix is None
             for a, b in zip(list(rays_i), list(full)):
                 np.testing.assert_array_equal(a, b[i * per:(i + 1) * per])
+
+
+class TestVisualizeAlias:
+    def test_blender_visualize_alias(self, blender_dir):
+        """Reference split alias: test.py renders split="visualize"
+        (dataset.py:22-24); blender maps it onto the test split."""
+        cfg = DataConfig(dataset="blender", base_dir=blender_dir, factor=1)
+        viz = get_dataset(cfg, "visualize")
+        test = get_dataset(cfg, "test")
+        assert viz.n_images == test.n_images
+        np.testing.assert_array_equal(viz.pixels, test.pixels)
