@@ -223,6 +223,11 @@ def main():
                 make_batch,
                 [(1000 + i) * args.steps for i in range(rounds + depth)],
                 depth=depth)
+            # Wait for the queue to pre-fill so the timed window starts in
+            # steady state: without this the first round blocks on a cold
+            # serial assembly and extra catch-up assemblies compete for host
+            # CPU inside the window, biasing the headline low.
+            stager.warm()
             t0 = time.perf_counter()
             for r in range(rounds):
                 batch = stager.get()

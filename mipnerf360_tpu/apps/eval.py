@@ -85,42 +85,45 @@ def main():
 
     stager = BackgroundStager(_stage, range(ds.n_images), depth=2)
     psnrs, ssims, lpipss = [], [], []
-    for i in range(ds.n_images):
-        rays, pix = stager.get()
-        rgb, dist, acc = render_image(state.params, cfg.model, rays,
-                                      chunk=args.chunk, mesh=mesh)
-        rgb = np.asarray(jax.device_get(rgb)).reshape(ds.h, ds.w, 3)
-        dist = np.asarray(jax.device_get(dist)).reshape(ds.h, ds.w)
-        acc = np.asarray(jax.device_get(acc)).reshape(ds.h, ds.w)
+    try:  # finally-close so a render failure can't leak the staging thread
+        for i in range(ds.n_images):
+            rays, pix = stager.get()
+            rgb, dist, acc = render_image(state.params, cfg.model, rays,
+                                          chunk=args.chunk, mesh=mesh)
+            rgb = np.asarray(jax.device_get(rgb)).reshape(ds.h, ds.w, 3)
+            dist = np.asarray(jax.device_get(dist)).reshape(ds.h, ds.w)
+            acc = np.asarray(jax.device_get(acc)).reshape(ds.h, ds.w)
 
-        _save_png(os.path.join(out_dir, f"rgb_{i:04d}.png"), to8b(rgb))
-        if args.depth:
-            _save_png(os.path.join(out_dir, f"dist_{i:04d}.png"),
-                      to8b(visualize_depth(dist, acc, ds.near, ds.far)))
-        if args.normals:
-            _save_png(os.path.join(out_dir, f"norm_{i:04d}.png"),
-                      to8b(visualize_normals(dist, acc)))
+            _save_png(os.path.join(out_dir, f"rgb_{i:04d}.png"), to8b(rgb))
+            if args.depth:
+                _save_png(os.path.join(out_dir, f"dist_{i:04d}.png"),
+                          to8b(visualize_depth(dist, acc, ds.near, ds.far)))
+            if args.normals:
+                _save_png(os.path.join(out_dir, f"norm_{i:04d}.png"),
+                          to8b(visualize_normals(dist, acc)))
 
-        if pix is not None:
-            from ..utils import metrics
+            if pix is not None:
+                from ..utils import metrics
 
-            target = pix.reshape(ds.h, ds.w, 3)
-            psnr = metrics.psnr(rgb, target)
-            s = metrics.ssim(rgb, target) if min(ds.h, ds.w) >= 11 else None
-            psnrs.append(psnr)
-            ssims.append(s)
-            line = f"[{i + 1}/{ds.n_images}] PSNR={psnr:.2f}"
-            if s is not None:
-                line += f" SSIM={s:.4f}"
-            if lpips_weights is not None:
-                from ..utils.lpips import lpips
+                target = pix.reshape(ds.h, ds.w, 3)
+                psnr = metrics.psnr(rgb, target)
+                s = (metrics.ssim(rgb, target)
+                     if min(ds.h, ds.w) >= 11 else None)
+                psnrs.append(psnr)
+                ssims.append(s)
+                line = f"[{i + 1}/{ds.n_images}] PSNR={psnr:.2f}"
+                if s is not None:
+                    line += f" SSIM={s:.4f}"
+                if lpips_weights is not None:
+                    from ..utils.lpips import lpips
 
-                lp = float(jax.device_get(
-                    lpips(rgb, target, lpips_weights)))
-                lpipss.append(lp)
-                line += f" LPIPS={lp:.4f}"
-            print(line)
-    stager.close()
+                    lp = float(jax.device_get(
+                        lpips(rgb, target, lpips_weights)))
+                    lpipss.append(lp)
+                    line += f" LPIPS={lp:.4f}"
+                print(line)
+    finally:
+        stager.close()
 
     if psnrs:
         print(f"mean PSNR over {len(psnrs)} views: {np.mean(psnrs):.3f}")

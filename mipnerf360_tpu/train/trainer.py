@@ -147,14 +147,21 @@ def stage_batch(mesh, dataset, k: int, batch_size: int, seed: int,
     return shard_batch_stack(mesh, rays_np, pix_np)
 
 
+def chunk_len(at_step: int, max_steps: int, chunk: int) -> int:
+    """Steps in the chunk starting at ``at_step``: chunk boundaries align to
+    multiples of ``chunk`` regardless of resume point. The single source of
+    truth for chunk length — ``chunk_starts`` (the async stager's schedule)
+    and ``stage`` (the consumer) must agree or the stateless ray-counter
+    stream would silently gap/overlap."""
+    return min(chunk - at_step % chunk, max_steps - at_step)
+
+
 def chunk_starts(start_step: int, max_steps: int, chunk: int):
-    """The deterministic sequence of chunk-start steps the train loop visits:
-    each chunk spans min(chunk - s % chunk, max_steps - s) steps, so chunk
-    boundaries align to multiples of ``chunk`` regardless of resume point."""
+    """The deterministic sequence of chunk-start steps the train loop visits."""
     s = start_step
     while s < max_steps:
         yield s
-        s += min(chunk - s % chunk, max_steps - s)
+        s += chunk_len(s, max_steps, chunk)
 
 
 class BackgroundStager:
@@ -208,6 +215,21 @@ class BackgroundStager:
         if exc is not None:
             raise exc
         return item
+
+    def warm(self, timeout: float = 300.0) -> None:
+        """Block until the prefetch queue is full (or the worker finished).
+
+        For timing harnesses: a measurement window opened after ``warm()``
+        excludes the cold-start assemblies, so the window sees only the
+        steady-state one-assembly-per-consumed-item cost (bench.py staging
+        mode; without this the first timed round blocks on a serial cold
+        assembly and reads biased-low)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while (self._q.qsize() < self._q.maxsize and self._thread.is_alive()
+               and _time.monotonic() < deadline):
+            _time.sleep(0.005)
 
     def close(self):
         self._stop.set()
@@ -313,7 +335,7 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
         """Stage the next chunk's loop_fn args. Device-bank mode ships only
         a [K, B] int32 index stack (the bank already sits in HBM); host mode
         assembles + uploads the gathered [K, B, c] batch stack."""
-        k = min(chunk - at_step % chunk, max_steps - at_step)
+        k = chunk_len(at_step, max_steps, chunk)
         B, seed = cfg.train.batch_size, cfg.train.seed
         if bank is not None:
             if jax.process_count() > 1:
@@ -358,7 +380,14 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     stager = None
     staged = None
     if cfg.train.async_staging:
-        stager = BackgroundStager(stage, chunk_starts(step, max_steps, chunk))
+        # Queue depth bounds staged-chunk HBM: host mode stages full
+        # [K, B, c] f32 stacks (~90 MB at flagship shapes) so depth=1 keeps
+        # the prefetch footprint at the pre-r5 inline level (current + one
+        # ahead) while still overlapping assembly with device compute;
+        # bank mode ships only [K, B] int32 index stacks (~1.6 MB) where a
+        # deeper queue is free.
+        stager = BackgroundStager(stage, chunk_starts(step, max_steps, chunk),
+                                  depth=2 if bank is not None else 1)
     else:
         staged = stage(step) if step < max_steps else None
     try:
@@ -400,10 +429,13 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                 # train.check_nans=True escalates to an abort with the
                 # offending param paths.
                 nonfinite_warned = True
-                bad = {n: v for n, v in aux_host.items() if not np.isfinite(v)}
-                print(f"[warn] non-finite training metrics at step "
-                      f"{step + k}: {bad} — training is likely dead; set "
-                      "train.check_nans=true to abort with offending params")
+                if jax.process_index() == 0:  # host-0-only, like all logging
+                    bad = {n: v for n, v in aux_host.items()
+                           if not np.isfinite(v)}
+                    print(f"[warn] non-finite training metrics at step "
+                          f"{step + k}: {bad} — training is likely dead; set "
+                          "train.check_nans=true to abort with offending "
+                          "params")
             if cfg.train.check_nans:
                 from ..utils.checks import assert_tree_finite
 

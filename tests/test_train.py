@@ -456,6 +456,36 @@ class TestStaging:
             stager.get()
         stager.close()
 
+    def test_background_stager_warm_prefills_queue(self):
+        from mipnerf360_tpu.train.trainer import BackgroundStager
+
+        stager = BackgroundStager(lambda s: s, range(5), depth=2)
+        stager.warm(timeout=10.0)
+        # Queue full = the bench timing window opens in steady state.
+        assert stager._q.qsize() == 2
+        for want in range(5):
+            assert stager.get() == want
+        assert stager.get() is None
+        stager.close()
+
+        # warm() must not deadlock when the stream is shorter than the queue.
+        short = BackgroundStager(lambda s: s, [0], depth=2)
+        short.warm(timeout=10.0)
+        assert short.get() == 0
+        short.close()
+
+    def test_chunk_len_is_the_chunk_starts_step(self):
+        # chunk_len is the single source of truth shared by the stager's
+        # schedule (chunk_starts) and the consumer (trainer.stage): the
+        # difference between consecutive starts must equal chunk_len at the
+        # earlier start, or async staging would desync the ray counter.
+        from mipnerf360_tpu.train.trainer import chunk_len, chunk_starts
+
+        for start, max_steps, chunk in [(7, 50, 10), (0, 9, 4), (3, 4, 8)]:
+            starts = list(chunk_starts(start, max_steps, chunk)) + [max_steps]
+            for a, b in zip(starts, starts[1:]):
+                assert b - a == chunk_len(a, max_steps, chunk)
+
     def test_use_device_bank_resolution(self):
         from mipnerf360_tpu.train import trainer as tr
 
