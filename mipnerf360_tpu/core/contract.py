@@ -69,13 +69,3 @@ def contract_gaussian(mean, cov):
     new_mean = contract(mean)
     new_cov = jnp.einsum("...ij,...jk,...lk->...il", j, cov, j)
     return new_mean, new_cov
-
-
-def track_linearize(mean, t_var_diag):
-    """Contract a *diagonal-in-frame* Gaussian without forming the 3x3 cov.
-
-    For callers that only need the diagonal of the contracted covariance in
-    some projection basis, prefer :func:`contract_jacobian` + a fused einsum
-    in the encoder (see encoding.integrated_pos_enc_from_frustum).
-    """
-    return contract_gaussian(mean, t_var_diag)

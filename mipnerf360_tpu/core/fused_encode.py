@@ -32,7 +32,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .contract import _NORM_EPS
-from .encoding import P_BASIS
+from .encoding import P_BASIS, scale_ipe
 from .gaussians import conical_frustum_to_gaussian, cylinder_to_gaussian
 
 
@@ -96,7 +96,5 @@ def factored_ipe(t_vals, origins, directions, radii, ray_shape: str = "cone",
     # = scale * P mu (projection is linear).
     scale = jnp.where(inside, 1.0, (2.0 - 1.0 / n) / n)
     gamma_phase = scale[..., None] * p_mu
-
-    from .encoding import scale_ipe
 
     return scale_ipe(gamma_phase, sigma, min_deg, max_deg)

@@ -46,6 +46,9 @@ def distortion_loss(s_vals, weights, reduction: str = "sum"):
     pairwise = 2.0 * jnp.sum(weights * (mids * excl_cw - excl_cwm), axis=-1)
     self_term = jnp.sum(weights**2 * dists, axis=-1) / 3.0
     per_ray = pairwise + self_term
+    if reduction not in ("mean", "sum"):  # a typo'd override must not
+        raise ValueError(                 # silently become 4096x stronger
+            f"distortion reduction must be 'mean' or 'sum', got {reduction!r}")
     return jnp.mean(per_ray) if reduction == "mean" else jnp.sum(per_ray)
 
 

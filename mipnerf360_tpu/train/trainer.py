@@ -474,6 +474,9 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                 # NOT a quality signal; eval/psnr_image is. The key name
                 # says so because two rounds of misreadings came from it
                 # (the r3 "deficit" false alarm; the 22.8-vs-27.1 gap).
+                # It is also on the reference's CHANNEL-SUMMED MSE scale:
+                # a constant 10*log10(3) ~= 4.77 dB below image PSNR
+                # (losses/photometric.py docstring).
                 logger.log(new_step, {"eval/psnr_batch_noisy": psnr})
 
             if (crossed(cfg.train.eval_image_every, step, new_step)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mipnerf360_tpu.losses import (
     distillation_loss,
@@ -51,6 +52,14 @@ class TestDistortion:
         w = jnp.ones((1, 16)) / 16
         g = jax.grad(lambda w: distortion_loss(s, w))(w)
         assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
+
+    def test_unknown_reduction_rejected(self):
+        # A typo'd train.dist_loss_reduction must fail loudly, not silently
+        # fall back to "sum" (batch-size-scaled, 4096x stronger per ray).
+        s = jnp.linspace(0, 1, 17)[None]
+        w = jnp.ones((1, 16)) / 16
+        with pytest.raises(ValueError, match="mean.*sum"):
+            distortion_loss(s, w, reduction="Mean")
 
 
 def _naive_bounds(t_fine, w_fine, t_coarse):
