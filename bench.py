@@ -165,7 +165,8 @@ def main():
             # the pre-r5 host-gather + f32-upload path.
             from mipnerf360_tpu.data import get_dataset
 
-            dataset = get_dataset(cfg.data, "train")
+            dataset = get_dataset(cfg.data, "train",
+                                  white_bkgd=cfg.model.white_bkgd)
             if args.stage_host:
                 loop_fn = make_train_loop(cfg, mesh, donate=True)
 

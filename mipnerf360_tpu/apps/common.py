@@ -24,7 +24,15 @@ def add_config_args(ap: argparse.ArgumentParser):
 def _coerce(current, raw: str):
     t = type(current)
     if t is bool:
-        return raw.lower() in ("1", "true", "yes")
+        # Strict parse: a typo'd boolean must not silently become False
+        # (the numeric path already dies on unparseable input).
+        s = raw.strip().lower()
+        if s in ("1", "true", "yes"):
+            return True
+        if s in ("0", "false", "no"):
+            return False
+        raise ValueError(f"cannot parse {raw!r} as bool "
+                         "(use true/false, yes/no, or 1/0)")
     return t(raw) if current is not None else raw
 
 

@@ -63,7 +63,7 @@ def main():
     state = restore_checkpoint(ckpt_dir, template, step=args.step)
     print(f"restored step={int(state.step)} from {ckpt_dir}")
 
-    ds = get_dataset(cfg.data, "test")
+    ds = get_dataset(cfg.data, "test", white_bkgd=cfg.model.white_bkgd)
     from ..parallel.mesh import default_render_mesh
 
     mesh = default_render_mesh()  # data-parallel rendering across the mesh

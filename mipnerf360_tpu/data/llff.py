@@ -50,8 +50,21 @@ def _load_poses(base_dir: str, factor: int, img_shape):
     return recenter_poses(poses), bds
 
 
-def _spherify_render_poses(poses, bds, n_poses: int):
-    """360-degree render path around the central axis (dataset.py:285-335)."""
+def _spherify_render_poses(poses, bds, n_poses: int,
+                           world_frame: bool = False):
+    """360-degree render path around the central axis (dataset.py:285-335).
+
+    ``world_frame=False`` reproduces the reference exactly: the returned
+    orbit lives in the spherify "reset" frame (rotated so the central axis
+    is z, translations scaled by 1/rad) — a DIFFERENT frame from the
+    recentered training poses, a quirk inherited from load_llff.py (the
+    original NeRF applied the reset transform to the training poses too;
+    the reference only spherifies the render split). Its NDC near=0/far=1
+    rays mask the inconsistency. ``world_frame=True`` (the NDC-free metric
+    regime, where near/far come from the unscaled ``bds``) maps the orbit
+    back into the training frame — undo the 1/rad translation scale, then
+    the reset rotation/translation — so render cameras orbit the actual
+    learned scene at the training cameras' radius."""
     p34_to_44 = lambda p: np.concatenate(
         [p, np.tile(np.reshape(np.eye(4)[-1], [1, 1, 4]), [p.shape[0], 1, 1])], 1)
     rays_d = poses[:, :3, 2:3]
@@ -71,7 +84,9 @@ def _spherify_render_poses(poses, bds, n_poses: int):
     poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
     rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
     poses_reset[:, :3, 3] *= 1.0 / rad
-    bds = bds * (1.0 / rad)
+    # (the reference also rescales self.bds by 1/rad here, dataset.py:315 —
+    # consumed by nothing on its NDC-only path; our near/far use the
+    # caller's unscaled bds, which is the world_frame-consistent choice)
     centroid = np.mean(poses_reset[:, :3, 3], 0)
     zh = centroid[2]
     radcircle = np.sqrt(max(1.0 - zh**2, 1e-6))
@@ -86,6 +101,10 @@ def _spherify_render_poses(poses, bds, n_poses: int):
         vec1 = normalize(np.cross(vec2, vec0))
         new_poses.append(np.stack([vec0, vec1, vec2, cam_origin], 1))
     new_poses = np.stack(new_poses, 0)
+    if world_frame:
+        new_poses = new_poses.copy()
+        new_poses[:, :3, 3] *= rad                      # undo 1/rad scale
+        new_poses = (p34_to_44(c2w[None]) @ p34_to_44(new_poses))[:, :3, :4]
     return np.concatenate(
         [new_poses,
          np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1)
@@ -123,7 +142,10 @@ def load_llff(cfg: DataConfig, split: str = "train", spherify: bool = False,
 
     if split == "render":
         if spherify:
-            render = _spherify_render_poses(poses, bds, n_render_poses)
+            # NDC-free metric rays need the orbit in the training frame;
+            # the NDC parity path keeps the reference's reset-frame quirk.
+            render = _spherify_render_poses(poses, bds, n_render_poses,
+                                            world_frame=not cfg.use_ndc)
         else:
             render = _spiral_render_poses(poses, bds, n_render_poses)
         cam_to_world = np.ascontiguousarray(

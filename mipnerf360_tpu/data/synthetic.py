@@ -80,7 +80,8 @@ def _shade_sphere(origins, viewdirs, sphere_radius: float = 1.0,
     return np.where(hit[..., None], rgb, bg).astype(np.float32)
 
 
-def synthetic_dataset(cfg: DataConfig, split: str = "train") -> RayDataset:
+def synthetic_dataset(cfg: DataConfig, split: str = "train",
+                      background: float = 1.0) -> RayDataset:
     res = cfg.synthetic_resolution
     n_views = cfg.synthetic_views
     focal = 0.9 * res
@@ -109,7 +110,7 @@ def synthetic_dataset(cfg: DataConfig, split: str = "train") -> RayDataset:
     n = len(angles)
     poses = _orbit_poses_at(angles)
     rays = pinhole_rays(poses, res, res, focal, cfg.near, cfg.far)
-    images = _shade_sphere(rays.origins, rays.viewdirs)
+    images = _shade_sphere(rays.origins, rays.viewdirs, background=background)
     flat_rays, flat_pix = flatten_images(rays, images)
     return RayDataset(
         rays=flat_rays, pixels=flat_pix, h=res, w=res,

@@ -80,17 +80,20 @@ def visualize_depth(depth, acc=None, near=None, far=None, ignore_frac=0.0,
         acc = np.ones_like(depth)
     acc = np.where(np.isnan(depth), np.zeros_like(acc), acc)
 
-    sortidx = np.argsort(depth.reshape([-1]))
-    depth_sorted = depth.reshape([-1])[sortidx]
-    acc_sorted = acc.reshape([-1])[sortidx]
-    cum_acc = np.cumsum(acc_sorted)
-    mask = ((cum_acc >= cum_acc[-1] * ignore_frac) &
-            (cum_acc <= cum_acc[-1] * (1 - ignore_frac)))
-    depth_keep = depth_sorted[mask]
-
     eps = np.finfo(np.float32).eps
-    near = near if near is not None else depth_keep[0] - eps
-    far = far if far is not None else depth_keep[-1] + eps
+    if near is None or far is None:
+        # Percentile fallback only when a bound is missing: the argsort +
+        # cumulative-accumulation pass is O(HW log HW) per frame and the
+        # video path calls this with both bounds given for every frame.
+        sortidx = np.argsort(depth.reshape([-1]))
+        depth_sorted = depth.reshape([-1])[sortidx]
+        acc_sorted = acc.reshape([-1])[sortidx]
+        cum_acc = np.cumsum(acc_sorted)
+        mask = ((cum_acc >= cum_acc[-1] * ignore_frac) &
+                (cum_acc <= cum_acc[-1] * (1 - ignore_frac)))
+        depth_keep = depth_sorted[mask]
+        near = near if near is not None else depth_keep[0] - eps
+        far = far if far is not None else depth_keep[-1] + eps
 
     depth, near, far = [curve_fn(np.asarray(x, np.float64)) for x in [depth, near, far]]
 

@@ -112,6 +112,12 @@ def reference_cadence_step(cfg: Config, state: TrainState, rays: Rays,
     key = state.key
     randomized = cfg.train.randomized
 
+    if cfg.train.prop_inner_steps < 1:
+        raise ValueError(
+            "train.cadence='reference' is the 2+1 update structure "
+            "(train.py:51-82) and needs train.prop_inner_steps >= 1; use "
+            "cadence='joint' to train without separate proposal updates "
+            f"(got prop_inner_steps={cfg.train.prop_inner_steps})")
     prop_losses = []
     for _ in range(cfg.train.prop_inner_steps):
         key, sub = jax.random.split(key)

@@ -198,10 +198,24 @@ class BackgroundStager:
                 continue
         return False
 
+    def _await_slot(self) -> bool:
+        # Reserve a queue slot BEFORE assembling the next chunk: this is the
+        # single producer, so a non-full queue guarantees the following put
+        # succeeds, and the staged-chunk footprint stays at the documented
+        # depth+1 (queued + one being assembled) instead of depth+2 (an
+        # assembled chunk parked in the blocked put).
+        import time as _time
+
+        while not self._stop.is_set():
+            if not self._q.full():
+                return True
+            _time.sleep(0.005)
+        return False
+
     def _run(self, stage_fn, steps):
         try:
             for s in steps:
-                if self._stop.is_set():
+                if not self._await_slot():
                     return
                 if not self._put((stage_fn(s), None)):
                     return
@@ -282,9 +296,11 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             cfg, train=dataclasses.replace(cfg.train, lr_max_steps=max_steps))
 
     mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
-    dataset = get_dataset(cfg.data, "train")
+    dataset = get_dataset(cfg.data, "train",
+                          white_bkgd=cfg.model.white_bkgd)
     try:
-        eval_dataset = get_dataset(cfg.data, "test")
+        eval_dataset = get_dataset(cfg.data, "test",
+                                   white_bkgd=cfg.model.white_bkgd)
     except FileNotFoundError as e:
         # Only the expected missing-split case falls back; anything else
         # (corrupt data, a typo'd loader kwarg, ...) propagates. The fallback

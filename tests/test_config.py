@@ -148,3 +148,18 @@ class TestOverrides:
             f.write(get_config("tiny_lego").to_json())
         with pytest.raises(SystemExit, match="conflicts with the checkpoint"):
             config_from_args(_args([], preset="garden"), ckpt_dir=str(tmp_path))
+
+
+class TestBoolOverrides:
+    def test_typod_bool_rejected_not_silently_false(self):
+        # r5 review: "ture" used to coerce to False with no diagnostic.
+        with pytest.raises(SystemExit, match="cannot parse"):
+            apply_overrides(Config(), ["train.keep_best=ture"])
+
+    def test_bool_spellings(self):
+        assert apply_overrides(
+            Config(), ["data.use_ndc=false"]).data.use_ndc is False
+        assert apply_overrides(
+            Config(), ["data.use_ndc=0"]).data.use_ndc is False
+        assert apply_overrides(
+            Config(), ["train.keep_best=YES"]).train.keep_best is True

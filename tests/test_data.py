@@ -409,3 +409,58 @@ class TestVisualizeAlias:
         test = get_dataset(cfg, "test")
         assert viz.n_images == test.n_images
         np.testing.assert_array_equal(viz.pixels, test.pixels)
+
+
+class TestBackgroundRegime:
+    """get_dataset plumbs the MODEL's background regime into the loaders
+    (r5 review: the reference couples dataset and model compositing through
+    one white_bkgd flag; dropping the coupling silently trained white
+    targets against black empty space — the degenerate regime
+    data/synthetic.py documents)."""
+
+    def test_synthetic_background_follows_model_regime(self):
+        cfg = DataConfig(dataset="synthetic", synthetic_resolution=16,
+                         synthetic_views=4)
+        white = get_dataset(cfg, "train")  # historical default stays white
+        black = get_dataset(cfg, "train", white_bkgd=False)
+        diff = ~np.isclose(white.pixels, black.pixels).all(-1)
+        assert diff.any()  # background pixels exist
+        # Exactly the background flips 1 -> 0; sphere pixels are identical.
+        np.testing.assert_allclose(white.pixels[diff], 1.0)
+        np.testing.assert_allclose(black.pixels[diff], 0.0)
+
+    def test_blender_compositing_follows_model_regime(self, blender_dir):
+        cfg = DataConfig(dataset="blender", base_dir=blender_dir, factor=1)
+        white = get_dataset(cfg, "train", white_bkgd=True)
+        raw = get_dataset(cfg, "train", white_bkgd=False)
+        # RGBA fixture with partial alpha: compositing must change pixels.
+        assert not np.allclose(white.pixels, raw.pixels)
+
+
+class TestSpherifyFrames:
+    def test_spherified_orbit_frame_per_regime(self, llff_dir):
+        """NDC parity keeps the reference's reset-frame orbit (cameras on a
+        UNIT sphere in a rotated/rescaled frame — dataset.py:285-335); the
+        NDC-free metric regime maps the orbit back into the frame the model
+        trains in, with near/far still the metric bds (r5 review finding)."""
+        kw = dict(dataset="nerf_360", base_dir=llff_dir, factor=4,
+                  n_render_poses=12)
+        parity = get_dataset(
+            DataConfig(**kw, use_ndc=True, near=0.0, far=1.0), "render")
+        norms = np.linalg.norm(parity.poses[:, :3, 3], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+        world = get_dataset(DataConfig(**kw, use_ndc=False), "render")
+        train = get_dataset(DataConfig(dataset="nerf_360", base_dir=llff_dir,
+                                       factor=4, use_ndc=False), "train")
+        # Frames differ: the world-frame orbit is NOT the unit sphere.
+        wnorms = np.linalg.norm(world.poses[:, :3, 3], axis=-1)
+        assert not np.allclose(wnorms, 1.0, atol=1e-4)
+        # The orbit lives in the training frame's neighborhood...
+        n_img, per = train.n_images, train.h * train.w
+        cam = train.rays.origins.reshape(n_img, per, 3)[:, 0]
+        scale = np.linalg.norm(cam - cam.mean(0), axis=-1).mean() + 1e-6
+        d = np.linalg.norm(world.poses[:, :3, 3] - cam.mean(0), axis=-1)
+        assert np.all(np.isfinite(d)) and d.max() < 50 * scale
+        # ...and its ray bounds are the same metric bds the train split uses.
+        assert world.near == train.near and world.far == train.far

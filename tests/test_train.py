@@ -506,3 +506,11 @@ class TestStaging:
             assert tr.use_device_bank(with_mode("device_bank"), ds)  # forced
         finally:
             tr._BANK_AUTO_BYTES = old
+
+
+def test_reference_cadence_rejects_zero_prop_inner_steps():
+    # The 2+1 cadence with no proposal inner steps used to crash with a bare
+    # IndexError on prop_losses[-1] at trace time (r5 review).
+    cfg = tiny_config("reference", prop_inner_steps=0)
+    with pytest.raises(ValueError, match="prop_inner_steps"):
+        _run_steps(cfg, 1)

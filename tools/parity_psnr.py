@@ -258,7 +258,7 @@ def eval_checkpoint_views(cfg, which) -> dict:
     template = abstract_train_state(
         jax.random.PRNGKey(cfg.train.seed), cfg.model, cfg.train)
     state = restore_checkpoint(cfg.train.checkpoint_dir, template, step=which)
-    test = get_dataset(cfg.data, "test")
+    test = get_dataset(cfg.data, "test", white_bkgd=cfg.model.white_bkgd)
     out = evaluate_images(cfg, state.params, test)
     out["step"] = int(state.step)
     return out
@@ -281,7 +281,7 @@ def train_psnr_probe(cfg, n_batches: int = 8) -> dict:
     template = abstract_train_state(
         jax.random.PRNGKey(cfg.train.seed), cfg.model, cfg.train)
     state = restore_checkpoint(cfg.train.checkpoint_dir, template)
-    ds = get_dataset(cfg.data, "train")
+    ds = get_dataset(cfg.data, "train", white_bkgd=cfg.model.white_bkgd)
 
     import functools
 
